@@ -1,0 +1,58 @@
+"""BatchNorm folding for the inference/speed path.
+
+The reference benchmarks a hand-edited BN-free model copy
+(models/speed/pidnet_speed.py:37-40, README.md speed protocol). Here the
+fold is automated from the traced model spec:
+
+- every Conv->BN pair (recorded by `_TraceOps.fold_pairs`) collapses into a
+  biased conv:  w' = w * g/sqrt(v+eps),  b' = beta - g*m/sqrt(v+eps);
+- every remaining standalone BN (the pre-activation ones in segmenthead /
+  DAPPM / PAPPM / Bag) becomes a per-channel affine (scale, shift), which
+  XLA fuses into neighbouring ops.
+
+`models.pidnet.apply(..., folded=True)` consumes the result.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pidnet_tpu.models import pidnet as _pidnet
+from pidnet_tpu.nn.functional import BN_EPS
+
+
+def fold_params(params: dict, state: dict, spec) -> dict:
+    traced = _pidnet.trace_spec(spec)
+    folded: dict[str, jnp.ndarray] = {}
+    paired_bns = {bn for _, bn in traced.fold_pairs}
+
+    for conv_name, bn_name in traced.fold_pairs:
+        w = params[conv_name + ".weight"]  # HWIO
+        g = params[bn_name + ".weight"]
+        b = params[bn_name + ".bias"]
+        m = state[bn_name + ".running_mean"]
+        v = state[bn_name + ".running_var"]
+        scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))  # per output channel
+        folded[conv_name + ".weight"] = w * scale  # broadcasts over O axis
+        bias = b - m * scale
+        if conv_name + ".bias" in params:  # conv already had a bias
+            bias = bias + params[conv_name + ".bias"] * scale
+        folded[conv_name + ".bias"] = bias
+
+    for name, (k, cin_g, cout, has_bias) in traced.convs.items():
+        if name + ".weight" not in folded:  # conv not followed by BN
+            folded[name + ".weight"] = params[name + ".weight"]
+            if has_bias:
+                folded[name + ".bias"] = params[name + ".bias"]
+
+    for bn_name in traced.bns:
+        if bn_name in paired_bns:
+            continue  # merged into a conv above
+        g = params[bn_name + ".weight"]
+        b = params[bn_name + ".bias"]
+        m = state[bn_name + ".running_mean"]
+        v = state[bn_name + ".running_var"]
+        scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))
+        folded[bn_name + ".scale"] = scale
+        folded[bn_name + ".shift"] = b - m * scale
+    return folded

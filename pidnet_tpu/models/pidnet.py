@@ -1,0 +1,509 @@
+"""PIDNet — three-branch (P=detail, I=context, D=boundary) real-time
+semantic segmentation network, TPU-native functional implementation.
+
+Architecture parity target: reference models/pidnet.py:17-227 and
+models/model_utils.py:12-377 (PyTorch). This is a from-scratch NHWC
+JAX implementation:
+
+- parameters live in a flat ``{torch-style name: array}`` dict (HWIO conv
+  weights), which makes the checkpoint converter (convert/torch_weights.py)
+  and BatchNorm folding (convert/fold.py) mechanical;
+- a single wiring function `_forward` drives both shape-traced parameter
+  initialization (via `jax.eval_shape`, zero FLOPs) and the actual forward
+  pass, so init and apply can never diverge;
+- all interior bilinear upsampling uses align_corners=False
+  (reference models/pidnet.py:13 ``algc``), including PagFM's
+  (reference models/model_utils.py:300,308);
+- training mode (`augment=True`) returns ``[p_logits, logits, d_logits]``
+  at 1/8 input resolution, matching reference models/pidnet.py:177-180.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pidnet_tpu.nn.functional import (
+    avg_pool2d,
+    batch_norm_infer,
+    batch_norm_train,
+    conv2d,
+    global_avg_pool,
+    relu,
+    sigmoid,
+)
+from pidnet_tpu.ops.resize import resize_bilinear
+
+ALGC = False  # align_corners for all interior resizes (reference pidnet.py:13)
+
+
+@dataclass(frozen=True)
+class PIDNetSpec:
+    m: int = 2
+    n: int = 3
+    num_classes: int = 19
+    planes: int = 64
+    ppm_planes: int = 96
+    head_planes: int = 128
+    augment: bool = True
+
+
+def spec_for(name: str, num_classes: int, augment: bool) -> PIDNetSpec:
+    """Variant selection by substring, matching reference
+    models/pidnet.py:186-191 ('s' wins over 'm', else L)."""
+    if "s" in name:
+        return PIDNetSpec(2, 3, num_classes, 32, 96, 128, augment)
+    if "m" in name:
+        return PIDNetSpec(2, 3, num_classes, 64, 96, 128, augment)
+    return PIDNetSpec(3, 4, num_classes, 64, 112, 256, augment)
+
+
+# ---------------------------------------------------------------------------
+# Ops providers: Apply executes; Trace records the parameter spec.
+# ---------------------------------------------------------------------------
+
+
+class _ApplyOps:
+    def __init__(
+        self,
+        params: dict,
+        state: dict,
+        *,
+        train: bool,
+        sync_axis: str | None,
+        compute_dtype,
+        folded: bool,
+    ):
+        self.params = params
+        self.state = state
+        self.train = train
+        self.sync_axis = sync_axis
+        self.compute_dtype = compute_dtype
+        self.folded = folded
+        self.new_state: dict = {}
+
+    def conv(self, name, x, cout, k, stride=1, groups=1, bias=False):
+        w = self.params[name + ".weight"]
+        b = self.params.get(name + ".bias") if (bias or self.folded) else None
+        return conv2d(
+            x, w, b, stride=stride, groups=groups, compute_dtype=self.compute_dtype
+        )
+
+    def bn(self, name, x):
+        if self.folded:
+            scale = self.params[name + ".scale"].astype(x.dtype)
+            shift = self.params[name + ".shift"].astype(x.dtype)
+            return x * scale + shift
+        gamma = self.params[name + ".weight"]
+        beta = self.params[name + ".bias"]
+        rm = self.state[name + ".running_mean"]
+        rv = self.state[name + ".running_var"]
+        if self.train:
+            y, nm, nv = batch_norm_train(x, gamma, beta, rm, rv, axis_name=self.sync_axis)
+            self.new_state[name + ".running_mean"] = nm
+            self.new_state[name + ".running_var"] = nv
+            return y
+        return batch_norm_infer(x, gamma, beta, rm, rv)
+
+    def convbn(self, conv_name, bn_name, x, cout, k, stride=1, groups=1, bias=False):
+        """Conv directly followed by BN — foldable at inference."""
+        if self.folded:
+            return self.conv(conv_name, x, cout, k, stride, groups)
+        return self.bn(bn_name, self.conv(conv_name, x, cout, k, stride, groups, bias))
+
+
+class _TraceOps:
+    """Records parameter/state shapes; runs under jax.eval_shape."""
+
+    def __init__(self):
+        self.convs: dict[str, tuple] = {}  # name -> (k, cin_g, cout, bias)
+        self.bns: dict[str, int] = {}  # name -> channels
+        self.fold_pairs: list[tuple[str, str]] = []  # (conv, bn) foldable
+        self.compute_dtype = jnp.float32
+
+    def conv(self, name, x, cout, k, stride=1, groups=1, bias=False):
+        cin = x.shape[-1]
+        assert cin % groups == 0, (name, cin, groups)
+        self.convs[name] = (k, cin // groups, cout, bias)
+        w = jnp.zeros((k, k, cin // groups, cout), jnp.float32)
+        b = jnp.zeros((cout,), jnp.float32) if bias else None
+        return conv2d(x, w, b, stride=stride, groups=groups)
+
+    def bn(self, name, x):
+        self.bns[name] = x.shape[-1]
+        return x
+
+    def convbn(self, conv_name, bn_name, x, cout, k, stride=1, groups=1, bias=False):
+        self.fold_pairs.append((conv_name, bn_name))
+        return self.bn(bn_name, self.conv(conv_name, x, cout, k, stride, groups, bias))
+
+
+# ---------------------------------------------------------------------------
+# Blocks (reference models/model_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def _basic_block(ops, prefix, x, planes, stride=1, no_relu=False):
+    """ResNet basic block (reference model_utils.py:12-46), expansion 1."""
+    out = relu(ops.convbn(f"{prefix}.conv1", f"{prefix}.bn1", x, planes, 3, stride))
+    out = ops.convbn(f"{prefix}.conv2", f"{prefix}.bn2", out, planes, 3)
+    if stride != 1 or x.shape[-1] != planes:
+        residual = ops.convbn(
+            f"{prefix}.downsample.0", f"{prefix}.downsample.1", x, planes, 1, stride
+        )
+    else:
+        residual = x
+    out = out + residual
+    return out if no_relu else relu(out)
+
+
+def _bottleneck(ops, prefix, x, planes, stride=1, no_relu=True):
+    """Bottleneck with expansion 2 (reference model_utils.py:48-87)."""
+    cout = planes * 2
+    out = relu(ops.convbn(f"{prefix}.conv1", f"{prefix}.bn1", x, planes, 1))
+    out = relu(ops.convbn(f"{prefix}.conv2", f"{prefix}.bn2", out, planes, 3, stride))
+    out = ops.convbn(f"{prefix}.conv3", f"{prefix}.bn3", out, cout, 1)
+    if stride != 1 or x.shape[-1] != cout:
+        residual = ops.convbn(
+            f"{prefix}.downsample.0", f"{prefix}.downsample.1", x, cout, 1, stride
+        )
+    else:
+        residual = x
+    out = out + residual
+    return out if no_relu else relu(out)
+
+
+_BLOCK = {"basic": (_basic_block, False), "bottleneck": (_bottleneck, True)}
+
+
+def _layer(ops, prefix, x, block, planes, blocks, stride=1):
+    """Sequential residual stage (reference pidnet.py:103-121): last block
+    no_relu=True; a single-block stage keeps the block's default no_relu."""
+    fn, default_no_relu = _BLOCK[block]
+    for i in range(blocks):
+        s = stride if i == 0 else 1
+        if blocks == 1:
+            no_relu = default_no_relu
+        elif i == 0:
+            no_relu = default_no_relu
+        else:
+            no_relu = i == blocks - 1
+        x = fn(ops, f"{prefix}.{i}", x, planes, s, no_relu)
+    return x
+
+
+def _single_layer(ops, prefix, x, block, planes, stride=1):
+    """_make_single_layer (reference pidnet.py:123-134): bare block module
+    (no `.N` index in parameter names), always no_relu=True."""
+    fn, _ = _BLOCK[block]
+    return fn(ops, prefix, x, planes, stride, no_relu=True)
+
+
+def _segmenthead(ops, prefix, x, interplanes, outplanes, scale_factor=None):
+    """Pre-activation seg head (reference model_utils.py:89-112)."""
+    y = ops.conv(f"{prefix}.conv1", relu(ops.bn(f"{prefix}.bn1", x)), interplanes, 3)
+    out = ops.conv(
+        f"{prefix}.conv2", relu(ops.bn(f"{prefix}.bn2", y)), outplanes, 1, bias=True
+    )
+    if scale_factor is not None:
+        oh = y.shape[1] * scale_factor
+        ow = y.shape[2] * scale_factor
+        out = resize_bilinear(out, (oh, ow), ALGC)
+    return out
+
+
+def _pagfm(ops, prefix, x, y, mid, *, after_relu=False, with_channel=False):
+    """Pixel-attention-guided fusion (reference model_utils.py:268-312).
+    Its interior resizes hard-code align_corners=False (:300, :308)."""
+    hw = (x.shape[1], x.shape[2])
+    if after_relu:
+        x, y = relu(x), relu(y)
+    y_q = ops.convbn(f"{prefix}.f_y.0", f"{prefix}.f_y.1", y, mid, 1)
+    y_q = resize_bilinear(y_q, hw, False)
+    x_k = ops.convbn(f"{prefix}.f_x.0", f"{prefix}.f_x.1", x, mid, 1)
+    if with_channel:
+        sim = sigmoid(
+            ops.convbn(f"{prefix}.up.0", f"{prefix}.up.1", x_k * y_q, x.shape[-1], 1)
+        )
+    else:
+        sim = sigmoid(jnp.sum(x_k * y_q, axis=-1, keepdims=True))
+    y_up = resize_bilinear(y, hw, False)
+    return (1 - sim) * x + sim * y_up
+
+
+def _scale_branch(ops, prefix, x, pooled, bp, hw):
+    """One pooled PPM branch: pool -> BN -> ReLU -> 1x1 conv -> upsample."""
+    y = ops.conv(f"{prefix}.3", relu(ops.bn(f"{prefix}.1", pooled)), bp, 1)
+    return resize_bilinear(y, hw, ALGC)
+
+
+def _pappm(ops, prefix, x, branch_planes, outplanes):
+    """Parallel aggregation PPM for S/M (reference model_utils.py:196-265)."""
+    hw = (x.shape[1], x.shape[2])
+    bp = branch_planes
+    x0 = ops.conv(f"{prefix}.scale0.2", relu(ops.bn(f"{prefix}.scale0.0", x)), bp, 1)
+    scales = [
+        _scale_branch(ops, f"{prefix}.scale1", x, avg_pool2d(x, 5, 2, 2), bp, hw) + x0,
+        _scale_branch(ops, f"{prefix}.scale2", x, avg_pool2d(x, 9, 4, 4), bp, hw) + x0,
+        _scale_branch(ops, f"{prefix}.scale3", x, avg_pool2d(x, 17, 8, 8), bp, hw) + x0,
+        _scale_branch(ops, f"{prefix}.scale4", x, global_avg_pool(x), bp, hw) + x0,
+    ]
+    cat = jnp.concatenate(scales, axis=-1)
+    scale_out = ops.conv(
+        f"{prefix}.scale_process.2",
+        relu(ops.bn(f"{prefix}.scale_process.0", cat)),
+        bp * 4,
+        3,
+        groups=4,
+    )
+    merged = jnp.concatenate([x0, scale_out], axis=-1)
+    out = ops.conv(
+        f"{prefix}.compression.2",
+        relu(ops.bn(f"{prefix}.compression.0", merged)),
+        outplanes,
+        1,
+    )
+    shortcut = ops.conv(
+        f"{prefix}.shortcut.2", relu(ops.bn(f"{prefix}.shortcut.0", x)), outplanes, 1
+    )
+    return out + shortcut
+
+
+def _dappm(ops, prefix, x, branch_planes, outplanes):
+    """Deep aggregation PPM for L (reference model_utils.py:114-194):
+    sequential refinement across scales through 3x3 `process` convs."""
+    hw = (x.shape[1], x.shape[2])
+    bp = branch_planes
+    feats = [ops.conv(f"{prefix}.scale0.2", relu(ops.bn(f"{prefix}.scale0.0", x)), bp, 1)]
+    pools = [
+        avg_pool2d(x, 5, 2, 2),
+        avg_pool2d(x, 9, 4, 4),
+        avg_pool2d(x, 17, 8, 8),
+        global_avg_pool(x),
+    ]
+    for i, pooled in enumerate(pools, start=1):
+        up = _scale_branch(ops, f"{prefix}.scale{i}", x, pooled, bp, hw)
+        y = ops.conv(
+            f"{prefix}.process{i}.2",
+            relu(ops.bn(f"{prefix}.process{i}.0", up + feats[-1])),
+            bp,
+            3,
+        )
+        feats.append(y)
+    cat = jnp.concatenate(feats, axis=-1)
+    out = ops.conv(
+        f"{prefix}.compression.2",
+        relu(ops.bn(f"{prefix}.compression.0", cat)),
+        outplanes,
+        1,
+    )
+    shortcut = ops.conv(
+        f"{prefix}.shortcut.2", relu(ops.bn(f"{prefix}.shortcut.0", x)), outplanes, 1
+    )
+    return out + shortcut
+
+
+def _light_bag(ops, prefix, p, i, d, outplanes):
+    """S/M fusion (reference model_utils.py:314-334)."""
+    att = sigmoid(d)
+    p_add = ops.convbn(f"{prefix}.conv_p.0", f"{prefix}.conv_p.1", (1 - att) * i + p, outplanes, 1)
+    i_add = ops.convbn(f"{prefix}.conv_i.0", f"{prefix}.conv_i.1", i + att * p, outplanes, 1)
+    return p_add + i_add
+
+
+def _bag(ops, prefix, p, i, d, outplanes):
+    """L fusion (reference model_utils.py:363-377)."""
+    att = sigmoid(d)
+    x = att * p + (1 - att) * i
+    return ops.conv(f"{prefix}.conv.2", relu(ops.bn(f"{prefix}.conv.0", x)), outplanes, 3)
+
+
+def _ddfm_v2(ops, prefix, p, i, d, outplanes):
+    """Pre-activated Light_Bag variant (reference model_utils.py:337-361).
+    Unused by stock PIDNet; kept as a pluggable fusion extension point."""
+    att = sigmoid(d)
+
+    def branch(name, z):
+        z = relu(ops.bn(f"{prefix}.{name}.0", z))
+        return ops.convbn(f"{prefix}.{name}.2", f"{prefix}.{name}.3", z, outplanes, 1)
+
+    return branch("conv_p", (1 - att) * i + p) + branch("conv_i", i + att * p)
+
+
+# ---------------------------------------------------------------------------
+# Full network
+# ---------------------------------------------------------------------------
+
+
+def _forward(ops, x, spec: PIDNetSpec):
+    """Reference models/pidnet.py:136-182, NHWC."""
+    p = spec.planes
+    h8, w8 = x.shape[1] // 8, x.shape[2] // 8
+
+    # stem: /4 (reference pidnet.py:24-31; these two convs keep the torch
+    # default bias=True — the only biased convs outside segment heads)
+    x = relu(ops.convbn("conv1.0", "conv1.1", x, p, 3, 2, bias=True))
+    x = relu(ops.convbn("conv1.3", "conv1.4", x, p, 3, 2, bias=True))
+
+    x = _layer(ops, "layer1", x, "basic", p, spec.m)
+    x = relu(_layer(ops, "layer2", relu(x), "basic", p * 2, spec.m, stride=2))
+
+    x_ = _layer(ops, "layer3_", x, "basic", p * 2, spec.m)  # P @1/8
+    if spec.m == 2:
+        x_d = _single_layer(ops, "layer3_d", x, "basic", p)  # D @1/8 (S/M)
+    else:
+        x_d = _single_layer(ops, "layer3_d", x, "basic", p * 2)  # (L)
+
+    x = relu(_layer(ops, "layer3", x, "basic", p * 4, spec.n, stride=2))  # I @1/16
+    comp3 = ops.convbn("compression3.0", "compression3.1", x, p * 2, 1)
+    x_ = _pagfm(ops, "pag3", x_, comp3, p)
+    diff3_planes = p if spec.m == 2 else p * 2
+    x_d = x_d + resize_bilinear(
+        ops.convbn("diff3.0", "diff3.1", x, diff3_planes, 3), (h8, w8), ALGC
+    )
+    # The reference saves temp_p = x_ here (pidnet.py:154) but its inplace
+    # ReLU at pidnet.py:157 then mutates that saved tensor, so seghead_p
+    # effectively consumes relu(pag3 output). Reproduce that dataflow.
+    x_ = relu(x_)
+    temp_p = x_
+
+    x = relu(_layer(ops, "layer4", x, "basic", p * 8, spec.n, stride=2))  # I @1/32
+    x_ = _layer(ops, "layer4_", x_, "basic", p * 2, spec.m)
+    if spec.m == 2:
+        x_d = _layer(ops, "layer4_d", relu(x_d), "bottleneck", p, 1)
+    else:
+        x_d = _single_layer(ops, "layer4_d", relu(x_d), "basic", p * 2)
+
+    comp4 = ops.convbn("compression4.0", "compression4.1", x, p * 2, 1)
+    x_ = _pagfm(ops, "pag4", x_, comp4, p)
+    x_d = x_d + resize_bilinear(
+        ops.convbn("diff4.0", "diff4.1", x, p * 2, 3), (h8, w8), ALGC
+    )
+    # Same inplace-ReLU aliasing as temp_p: the reference's relu at
+    # pidnet.py:169 mutates temp_d (saved at :166) before seghead_d runs.
+    x_d = relu(x_d)
+    temp_d = x_d
+
+    x_ = _layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
+    x_d = _layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
+    x = _layer(ops, "layer5", x, "bottleneck", p * 8, 2, stride=2)  # I @1/64
+
+    if spec.m == 2:
+        spp = _pappm(ops, "spp", x, spec.ppm_planes, p * 4)
+    else:
+        spp = _dappm(ops, "spp", x, spec.ppm_planes, p * 4)
+    x = resize_bilinear(spp, (h8, w8), ALGC)
+
+    if spec.m == 2:
+        fused = _light_bag(ops, "dfm", x_, x, x_d, p * 4)
+    else:
+        fused = _bag(ops, "dfm", x_, x, x_d, p * 4)
+    out = _segmenthead(ops, "final_layer", fused, spec.head_planes, spec.num_classes)
+
+    if spec.augment:
+        x_extra_p = _segmenthead(ops, "seghead_p", temp_p, spec.head_planes, spec.num_classes)
+        x_extra_d = _segmenthead(ops, "seghead_d", temp_d, p, 1)
+        return [x_extra_p, out, x_extra_d]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Init / apply API
+# ---------------------------------------------------------------------------
+
+
+def trace_spec(spec: PIDNetSpec, input_hw: tuple[int, int] = (64, 128)) -> _TraceOps:
+    """Collect the full parameter/state spec via abstract evaluation."""
+    ops = _TraceOps()
+
+    def run(x):
+        return _forward(ops, x, spec)
+
+    jax.eval_shape(run, jax.ShapeDtypeStruct((1, *input_hw, 3), jnp.float32))
+    return ops
+
+
+def init(key, spec: PIDNetSpec) -> tuple[dict, dict]:
+    """Random init matching the reference's scheme (pidnet.py:95-100):
+    kaiming-normal(fan_out, relu) conv weights, BN gamma=1/beta=0."""
+    traced = trace_spec(spec)
+    params: dict[str, jnp.ndarray] = {}
+    state: dict[str, jnp.ndarray] = {}
+    keys = jax.random.split(key, len(traced.convs) + 1)
+    for (name, (k, cin_g, cout, bias)), sub in zip(traced.convs.items(), keys):
+        fan_out = cout * k * k
+        std = math.sqrt(2.0 / fan_out)
+        params[name + ".weight"] = (
+            jax.random.normal(sub, (k, k, cin_g, cout), jnp.float32) * std
+        )
+        if bias:
+            fan_in = cin_g * k * k
+            bound = 1.0 / math.sqrt(fan_in)
+            bkey = jax.random.fold_in(sub, 1)
+            params[name + ".bias"] = jax.random.uniform(
+                bkey, (cout,), jnp.float32, -bound, bound
+            )
+    for name, ch in traced.bns.items():
+        params[name + ".weight"] = jnp.ones((ch,), jnp.float32)
+        params[name + ".bias"] = jnp.zeros((ch,), jnp.float32)
+        state[name + ".running_mean"] = jnp.zeros((ch,), jnp.float32)
+        state[name + ".running_var"] = jnp.ones((ch,), jnp.float32)
+    return params, state
+
+
+def apply(
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    spec: PIDNetSpec,
+    *,
+    train: bool = False,
+    sync_bn_axis: str | None = None,
+    compute_dtype=None,
+    folded: bool = False,
+):
+    """Run the network on NHWC input.
+
+    Returns `(outputs, new_state)` in train mode, else `outputs`.
+    `folded=True` expects parameters produced by `convert.fold.fold_params`
+    (inference-only; replaces each conv+BN with a biased conv — the
+    automated equivalent of the reference's hand-edited BN-free speed
+    models, models/speed/pidnet_speed.py:37-40).
+    """
+    ops = _ApplyOps(
+        params,
+        state,
+        train=train,
+        sync_axis=sync_bn_axis,
+        compute_dtype=compute_dtype,
+        folded=folded,
+    )
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    out = _forward(ops, x, spec)
+    if train:
+        new_state = dict(state)
+        new_state.update(ops.new_state)
+        return out, new_state
+    return out
+
+
+def make_inference_fn(spec: PIDNetSpec, *, folded: bool = False, compute_dtype=None):
+    """A jit-ready `(params, state, x) -> outputs` closure."""
+
+    @partial(jax.jit, static_argnums=())
+    def fn(params, state, x):
+        return apply(
+            params, state, x, spec, train=False, folded=folded, compute_dtype=compute_dtype
+        )
+
+    return fn
+
+
+def num_params(params: dict) -> int:
+    return int(sum(np.prod(v.shape) for v in params.values()))

@@ -1,0 +1,133 @@
+"""Functional NHWC primitives for the TPU compute path.
+
+Everything here is shape-static and jit-friendly. Convolutions take HWIO
+weights and run on the MXU (optionally in bf16 with fp32 accumulation);
+BatchNorm matches torch semantics (momentum-based running stats, biased
+variance for normalization, unbiased for the running estimate, eps=1e-5)
+so converted reference checkpoints produce identical activations
+(reference: models/model_utils.py uses nn.BatchNorm2d(momentum=0.1)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1  # reference models/pidnet.py:12 (bn_mom)
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """2-D convolution, NHWC x HWIO -> NHWC, torch-style SAME-ish padding.
+
+    All PIDNet convs use kernel k in {1,3} with padding k//2, so padding is
+    derived from the kernel shape. When `compute_dtype` is bf16 the matmul
+    runs on the MXU in bf16 with fp32 accumulation.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = None  # native MXU precision for the requested dtype
+    else:
+        w = w.astype(in_dtype)
+        # fp32 parity path: TPU's default conv precision is bf16-decomposed,
+        # which would break logit parity with the reference.
+        precision = lax.Precision.HIGHEST
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(in_dtype) if compute_dtype is None else y.astype(compute_dtype)
+
+
+def batch_norm_infer(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+) -> jnp.ndarray:
+    scale = gamma * lax.rsqrt(var + BN_EPS)
+    shift = beta - mean * scale
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def batch_norm_train(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    *,
+    momentum: float = BN_MOMENTUM,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training-mode BN. Returns (y, new_running_mean, new_running_var).
+
+    With `axis_name` set, batch statistics are averaged across that mesh
+    axis (sync BN). Without it, statistics are per-shard — exactly the
+    reference's per-replica DataParallel BN (tools/train.py:136).
+    """
+    xf = x.astype(jnp.float32)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+        n = n * lax.psum(1, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    y = (xf - mean) * lax.rsqrt(var + BN_EPS) * gamma + beta
+    # torch stores the *unbiased* variance in running_var
+    unbiased = var * (n / max(n - 1, 1))
+    new_mean = (1.0 - momentum) * running_mean + momentum * mean
+    new_var = (1.0 - momentum) * running_var + momentum * unbiased
+    return y.astype(x.dtype), new_mean, new_var
+
+
+def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """AvgPool2d with count_include_pad=True (torch default used by D/PAPPM,
+    reference models/model_utils.py:118-132)."""
+    xf = x.astype(jnp.float32)
+    summed = lax.reduce_window(
+        xf,
+        0.0,
+        lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return (summed * (1.0 / (kernel * kernel))).astype(x.dtype)
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d((1,1)): NHWC -> N11C."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid(x)
