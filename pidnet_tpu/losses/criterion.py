@@ -1,0 +1,230 @@
+"""Training losses, shape-static for XLA.
+
+Numerical parity targets (reference utils/criterion.py, utils/utils.py):
+
+- `cross_entropy`       = nn.CrossEntropyLoss(weight, ignore_index) mean
+                          (weighted mean: sum(w_t * nll) / sum(w_t) over
+                          valid pixels) — criterion.py:10-38;
+- `ohem_cross_entropy`  = criterion.py:63-78: keep valid pixels whose
+                          predicted true-class prob < max(thres, kth
+                          smallest prob) with k=min_kept, then take the
+                          *plain* mean of their weighted per-pixel losses;
+- `weighted_bce`        = criterion.py:102-119: class-balanced BCE with
+                          logits over the boundary map, weight 0 for
+                          pixels not in {0,1}, mean over ALL pixels;
+- `FullLoss`            = utils/utils.py:37-57: l = loss_s + loss_b +
+                          loss_sb with the boundary-aware CE on pixels
+                          where sigmoid(boundary logit) > 0.8.
+
+The reference's OHEM sorts all valid pixels dynamically
+(criterion.py:72); here the kth-smallest threshold is found with a full
+`jnp.sort` over the flattened batch — static shapes, one XLA sort. Under
+the shard_map training step each data shard runs its own OHEM, exactly
+like per-GPU DataParallel replicas in the reference.
+
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 2.0  # sentinel prob for invalid pixels; any real prob is < 1
+
+
+def _per_pixel_ce(logits, labels, class_weights, ignore_label):
+    """Returns (weighted per-pixel nll, per-pixel class weight, valid mask).
+
+    logits: (..., C) float; labels: (...,) int.
+    """
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_label
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[safe_labels]
+    else:
+        w = jnp.ones_like(nll)
+    w = jnp.where(valid, w, 0.0)
+    return nll * w, w, valid
+
+
+def cross_entropy(
+    logits, labels, class_weights=None, ignore_label=-1, divide_by: str = "weights"
+):
+    """Mean-reduced weighted CE.
+
+    divide_by="weights": torch nn.CrossEntropyLoss 'mean' (divide by the sum
+    of kept class weights) — the reference `CrossEntropy` path.
+    divide_by="numel": divide by the TOTAL pixel count. This reproduces the
+    reference's OHEM aux-head quirk: `OhemCrossEntropy._ce_forward` keeps
+    reduction='none' (criterion.py:50-61), so the aux CE stays a per-pixel
+    map that is finally `.mean()`-ed over all pixels in the train loop
+    (utils/function.py:44), ignored pixels contributing 0 to the numerator
+    but 1 to the denominator.
+    """
+    wl, w, _ = _per_pixel_ce(logits, labels, class_weights, ignore_label)
+    if divide_by == "numel":
+        return jnp.sum(wl) / wl.size
+    return jnp.sum(wl) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def ohem_cross_entropy(
+    logits,
+    labels,
+    class_weights=None,
+    ignore_label=-1,
+    thres: float = 0.7,
+    min_kept: int = 100000,
+):
+    """Online hard-example mining CE (reference criterion.py:63-78)."""
+    min_kept = max(1, int(min_kept))
+    wl, _, valid = _per_pixel_ce(logits, labels, class_weights, ignore_label)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    true_prob = jnp.take_along_axis(prob, safe_labels[..., None], axis=-1)[..., 0]
+    true_prob = jnp.where(valid, true_prob, _BIG).reshape(-1)
+
+    # kth smallest valid prob (reference: sorted pred[min(min_kept, nvalid-1)],
+    # criterion.py:73). Invalid pixels sort to the end via the _BIG sentinel;
+    # the clamp to nvalid-1 makes the degenerate almost-all-ignored case match
+    # the reference exactly too.
+    sorted_probs = jnp.sort(true_prob)
+    nvalid = jnp.sum(valid)
+    k = jnp.clip(jnp.minimum(min_kept, nvalid - 1), 0, true_prob.size - 1)
+    kth = jnp.take(sorted_probs, k)
+    threshold = jnp.maximum(kth, thres)
+
+    keep = valid.reshape(-1) & (true_prob < threshold)
+    kept_losses = jnp.where(keep, wl.reshape(-1), 0.0)
+    return jnp.sum(kept_losses) / jnp.maximum(jnp.sum(keep), 1)
+
+
+def weighted_bce(bd_logits, targets):
+    """Class-balanced BCE-with-logits on the 1-channel boundary logits.
+
+    bd_logits: (N,H,W,1) or (N,H,W); targets: (N,H,W) float/int in {0,1}
+    (other values get weight 0). Mean over all pixels, matching
+    reference criterion.py:117 (reduction='mean' with explicit weights).
+    """
+    logits = bd_logits.reshape(-1).astype(jnp.float32)
+    t = targets.reshape(-1).astype(jnp.float32)
+    pos = t == 1.0
+    neg = t == 0.0
+    pos_num = jnp.sum(pos)
+    neg_num = jnp.sum(neg)
+    total = jnp.maximum(pos_num + neg_num, 1)
+    weight = jnp.where(pos, neg_num / total, jnp.where(neg, pos_num / total, 0.0))
+    # stable BCE-with-logits: max(x,0) - x*t + log1p(exp(-|x|))
+    bce = jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(weight * bce)
+
+
+def boundary_loss(bd_logits, targets, coeff_bce: float = 20.0):
+    """BondaryLoss [sic] (reference criterion.py:122-132)."""
+    return coeff_bce * weighted_bce(bd_logits, targets)
+
+
+class FullLoss:
+    """Composes the PIDNet training objective (reference utils/utils.py:21-57).
+
+    Callable as `loss, metrics = full_loss(outputs, labels, bd_gt)` where
+    outputs = [p_logits, logits, d_logits] at 1/8 resolution (NHWC).
+    All outputs are first upsampled to the label size with
+    align_corners=cfg.MODEL.ALIGN_CORNERS (utils/utils.py:41-46).
+    """
+
+    def __init__(
+        self,
+        *,
+        num_outputs: int = 2,
+        align_corners: bool = True,
+        ignore_label: int = 255,
+        class_weights=None,
+        use_ohem: bool = True,
+        ohem_thres: float = 0.9,
+        ohem_kept: int = 131072,
+        balance_weights=(0.4, 1.0),
+        sb_weights: float = 1.0,
+        bd_coeff: float = 20.0,
+    ):
+        self.align_corners = align_corners
+        self.ignore_label = ignore_label
+        self.class_weights = class_weights
+        self.use_ohem = use_ohem
+        self.ohem_thres = ohem_thres
+        self.ohem_kept = ohem_kept
+        self.balance_weights = tuple(balance_weights)
+        self.sb_weights = sb_weights
+        self.bd_coeff = bd_coeff
+        assert num_outputs == len(self.balance_weights)
+
+    def _single(self, logits, labels, use_ohem):
+        if use_ohem:
+            return ohem_cross_entropy(
+                logits,
+                labels,
+                self.class_weights,
+                self.ignore_label,
+                self.ohem_thres,
+                self.ohem_kept,
+            )
+        # Inside the OHEM criterion the aux head's plain CE is normalized
+        # by total pixel count (see cross_entropy docstring); the non-OHEM
+        # criterion uses torch's weighted mean.
+        divide_by = "numel" if self.use_ohem else "weights"
+        return cross_entropy(
+            logits, labels, self.class_weights, self.ignore_label, divide_by
+        )
+
+    def sem_loss(self, scores: list, labels):
+        """Balance-weighted multi-output semantic loss: plain CE on all but
+        the last head, OHEM on the last (reference criterion.py:87-93)."""
+        losses = []
+        for i, (w, s) in enumerate(zip(self.balance_weights, scores)):
+            is_last = i == len(scores) - 1
+            losses.append(w * self._single(s, labels, self.use_ohem and is_last))
+        return sum(losses)
+
+    def __call__(self, outputs: list, labels, bd_gt):
+        from pidnet_tpu.ops.resize import resize_bilinear
+
+        h, w = labels.shape[1], labels.shape[2]
+        outputs = [
+            resize_bilinear(o, (h, w), self.align_corners)
+            if o.shape[1:3] != (h, w)
+            else o
+            for o in outputs
+        ]
+        seg_final = outputs[-2]
+        bd_head = outputs[-1]
+
+        # pixel accuracy of the final head. NOTE: the reference counts
+        # every label >= 0 as valid (utils/utils.py:31), so with
+        # IGNORE_LABEL=255 the ignored pixels count against accuracy.
+        # Faithfully reproduced.
+        preds = jnp.argmax(seg_final, axis=-1)
+        valid = labels >= 0
+        acc = jnp.sum(valid & (preds == labels)) / (jnp.sum(valid) + 1e-10)
+
+        loss_s = self.sem_loss(outputs[:-1], labels)
+        loss_b = self.bd_coeff * weighted_bce(bd_head, bd_gt)
+
+        # boundary-aware CE: only pixels the boundary head is confident
+        # about keep their label (utils/utils.py:52-54)
+        bd_conf = jax.nn.sigmoid(bd_head[..., 0].astype(jnp.float32)) > 0.8
+        bd_label = jnp.where(bd_conf, labels, self.ignore_label)
+        loss_sb = self.sb_weights * self._single(seg_final, bd_label, self.use_ohem)
+
+        loss = loss_s + loss_b + loss_sb
+        metrics = {
+            "loss": loss,
+            "acc": acc,
+            "sem_loss": loss_s,
+            "bce_loss": loss_b,
+            "sb_loss": loss_sb,
+        }
+        return loss, metrics

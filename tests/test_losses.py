@@ -1,0 +1,170 @@
+"""Loss numerical goldens vs torch oracles.
+
+Oracles are written here from the formulas in SURVEY.md §2.5 using
+torch.nn.functional — they define the reference semantics (including the
+reduction='none' aux-CE quirk and OHEM's sorted-threshold selection).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pidnet_tpu.losses import (
+    FullLoss,
+    boundary_loss,
+    cross_entropy,
+    ohem_cross_entropy,
+    weighted_bce,
+)
+
+IGNORE = 255
+
+
+def _rand_logits_labels(rng, n=2, h=32, w=48, c=19, ignore_frac=0.2):
+    logits = rng.standard_normal((n, h, w, c), dtype=np.float32) * 2
+    labels = rng.integers(0, c, (n, h, w))
+    mask = rng.random((n, h, w)) < ignore_frac
+    labels = np.where(mask, IGNORE, labels).astype(np.int64)
+    return logits, labels
+
+
+def _t(logits):  # NHWC -> NCHW torch tensor
+    return torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+
+
+def test_cross_entropy_weighted_mean(rng):
+    logits, labels = _rand_logits_labels(rng)
+    weights = (0.5 + rng.random(19)).astype(np.float32)
+    want = F.cross_entropy(
+        _t(logits), torch.from_numpy(labels),
+        weight=torch.from_numpy(weights), ignore_index=IGNORE,
+    ).item()
+    got = float(cross_entropy(logits, labels, weights, IGNORE))
+    assert abs(got - want) < 1e-5
+
+
+def test_cross_entropy_numel_mean(rng):
+    """The OHEM-criterion aux path: reduction='none' then global mean."""
+    logits, labels = _rand_logits_labels(rng)
+    weights = (0.5 + rng.random(19)).astype(np.float32)
+    per_pix = F.cross_entropy(
+        _t(logits), torch.from_numpy(labels),
+        weight=torch.from_numpy(weights), ignore_index=IGNORE, reduction="none",
+    )
+    want = per_pix.mean().item()
+    got = float(cross_entropy(logits, labels, weights, IGNORE, divide_by="numel"))
+    assert abs(got - want) < 1e-5
+
+
+@pytest.mark.parametrize("min_kept,thres", [(100, 0.7), (5000, 0.9), (1, 0.5)])
+def test_ohem(rng, min_kept, thres):
+    logits, labels = _rand_logits_labels(rng)
+    weights = (0.5 + rng.random(19)).astype(np.float32)
+
+    # oracle per SURVEY §2.5: sort valid true-class probs ascending,
+    # threshold = max(thres, prob[min_kept]), keep prob < threshold, mean
+    lt, tt, wt = _t(logits), torch.from_numpy(labels), torch.from_numpy(weights)
+    pixel_losses = F.cross_entropy(
+        lt, tt, weight=wt, ignore_index=IGNORE, reduction="none"
+    ).view(-1)
+    prob = F.softmax(lt, dim=1)
+    tmp = tt.clone()
+    tmp[tmp == IGNORE] = 0
+    tp = prob.gather(1, tmp.unsqueeze(1)).view(-1)
+    mask = tt.view(-1) != IGNORE
+    sorted_probs, ind = tp[mask].sort()
+    min_value = sorted_probs[min(min_kept, sorted_probs.numel() - 1)]
+    threshold = max(min_value.item(), thres)
+    kept = pixel_losses[mask][ind]
+    kept = kept[sorted_probs < threshold]
+    want = kept.mean().item()
+
+    got = float(ohem_cross_entropy(logits, labels, weights, IGNORE, thres, min_kept))
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_weighted_bce(rng):
+    pre = rng.standard_normal((2, 1, 16, 16), dtype=np.float32)
+    target = np.zeros((2, 16, 16), np.float32)
+    target[:, 5, :] = 1
+    target[:, 10, 3] = 2  # out-of-{0,1} pixels get weight 0
+
+    log_p = torch.from_numpy(pre).permute(0, 2, 3, 1).contiguous().view(1, -1)
+    tt = torch.from_numpy(target).view(1, -1)
+    pos, neg = tt == 1, tt == 0
+    w = torch.zeros_like(log_p)
+    s = pos.sum() + neg.sum()
+    w[pos] = neg.sum() * 1.0 / s
+    w[neg] = pos.sum() * 1.0 / s
+    want = F.binary_cross_entropy_with_logits(log_p, tt, w, reduction="mean").item()
+
+    got = float(weighted_bce(np.transpose(pre, (0, 2, 3, 1)), target))
+    assert abs(got - want) < 1e-6
+    got20 = float(boundary_loss(np.transpose(pre, (0, 2, 3, 1)), target))
+    assert abs(got20 - 20.0 * want) < 1e-5
+
+
+def test_full_loss_composition(rng):
+    """End-to-end objective = loss_s + loss_b + loss_sb with upsampling
+    (reference utils/utils.py:37-57), verified against a torch oracle."""
+    n, h8, w8, c = 2, 8, 12, 19
+    h, w = h8 * 8, w8 * 8
+    outs = [
+        rng.standard_normal((n, h8, w8, c), dtype=np.float32),
+        rng.standard_normal((n, h8, w8, c), dtype=np.float32),
+        rng.standard_normal((n, h8, w8, 1), dtype=np.float32) * 3,
+    ]
+    labels = rng.integers(0, c, (n, h, w))
+    labels = np.where(rng.random((n, h, w)) < 0.1, IGNORE, labels).astype(np.int64)
+    edge = (rng.random((n, h, w)) < 0.15).astype(np.float32)
+    weights = (0.5 + rng.random(c)).astype(np.float32)
+
+    # ---- torch oracle
+    ot = [F.interpolate(_t(o), size=(h, w), mode="bilinear", align_corners=True) for o in outs]
+    lt = torch.from_numpy(labels)
+    wt = torch.from_numpy(weights)
+
+    def ohem(score, target, thres=0.9, min_kept=1000):
+        pl = F.cross_entropy(score, target, weight=wt, ignore_index=IGNORE, reduction="none").view(-1)
+        prob = F.softmax(score, dim=1)
+        tmp = target.clone(); tmp[tmp == IGNORE] = 0
+        tp = prob.gather(1, tmp.unsqueeze(1)).view(-1)
+        mask = target.view(-1) != IGNORE
+        sp, ind = tp[mask].sort()
+        mv = sp[min(min_kept, sp.numel() - 1)]
+        th = max(mv.item(), thres)
+        kept = pl[mask][ind][sp < th]
+        return kept.mean()
+
+    ce_map = F.cross_entropy(ot[0], lt, weight=wt, ignore_index=IGNORE, reduction="none")
+    loss_s = 0.4 * ce_map + 1.0 * ohem(ot[1], lt)
+    # weighted bce oracle
+    log_p = ot[2].permute(0, 2, 3, 1).contiguous().view(1, -1)
+    tt = torch.from_numpy(edge).view(1, -1)
+    pos, neg = tt == 1, tt == 0
+    wbce = torch.zeros_like(log_p)
+    s = pos.sum() + neg.sum()
+    wbce[pos] = neg.sum() * 1.0 / s
+    wbce[neg] = pos.sum() * 1.0 / s
+    loss_b = 20.0 * F.binary_cross_entropy_with_logits(log_p, tt, wbce, reduction="mean")
+    filler = torch.ones_like(lt) * IGNORE
+    bd_label = torch.where(torch.sigmoid(ot[2][:, 0, :, :]) > 0.8, lt, filler)
+    loss_sb = 1.0 * ohem(ot[1], bd_label)
+    want = (loss_s + loss_b + loss_sb).mean().item()
+
+    # ---- ours
+    fl = FullLoss(
+        num_outputs=2,
+        align_corners=True,
+        ignore_label=IGNORE,
+        class_weights=weights,
+        use_ohem=True,
+        ohem_thres=0.9,
+        ohem_kept=1000,
+        balance_weights=(0.4, 1.0),
+        sb_weights=1.0,
+    )
+    got, metrics = fl(outs, labels, edge)
+    assert abs(float(got) - want) < 2e-4, (float(got), want)
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
