@@ -1,0 +1,108 @@
+"""Dataset base: .lst file lists + sample generation (host side).
+
+Replaces the torch `data.Dataset` base (reference datasets/base_dataset.py)
+with a torch-free class; samples come back NHWC-ready (HWC image) so the
+device pipeline never transposes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pidnet_tpu.data import transforms as T
+
+
+class SegDataset:
+    def __init__(
+        self,
+        root: str,
+        list_path: str,
+        num_classes: int,
+        multi_scale: bool = True,
+        flip: bool = True,
+        ignore_label: int = 255,
+        base_size: int = 2048,
+        crop_size: tuple[int, int] = (512, 1024),
+        scale_factor: int = 16,
+        bd_dilate_size: int = 4,
+        seed: int = 304,
+    ):
+        self.root = root
+        self.list_path = list_path
+        self.num_classes = num_classes
+        self.multi_scale = multi_scale
+        self.flip = flip
+        self.ignore_label = ignore_label
+        self.base_size = base_size
+        self.crop_size = tuple(crop_size)
+        self.scale_factor = scale_factor
+        self.bd_dilate_size = bd_dilate_size
+        self.rng = np.random.default_rng(seed)
+        self.class_weights: np.ndarray | None = None
+
+        self.is_test = "test" in list_path
+        with open(os.path.join(root, list_path) if not os.path.isabs(list_path) else list_path) as f:
+            self.img_list = [line.strip().split() for line in f if line.strip()]
+        self.files = self._read_files()
+
+    # subclass hooks -------------------------------------------------------
+    def _read_files(self) -> list[dict]:
+        files = []
+        for item in self.img_list:
+            if self.is_test:
+                name = os.path.splitext(os.path.basename(item[0]))[0]
+                files.append({"img": item[0], "name": name})
+            else:
+                image_path, label_path = item[:2]
+                name = os.path.splitext(os.path.basename(label_path))[0]
+                files.append({"img": image_path, "label": label_path, "name": name})
+        return files
+
+    def _load_image(self, path: str) -> np.ndarray:  # HWC uint8
+        raise NotImplementedError
+
+    def _load_label(self, path: str) -> np.ndarray:  # HW uint8 (class ids)
+        raise NotImplementedError
+
+    @property
+    def bgr_to_rgb(self) -> bool:
+        """True when _load_image returns BGR (cv2)."""
+        return True
+
+    @property
+    def edge_pad(self) -> bool:
+        return True
+
+    # ----------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int):
+        item = self.files[index]
+        image = self._load_image(item["img"])
+        size = np.array(image.shape)
+        if self.is_test:
+            img = T.input_transform(image, bgr_to_rgb=self.bgr_to_rgb)
+            return np.ascontiguousarray(img), size, item["name"]
+
+        label = self._load_label(item["label"])
+        image, label, edge = T.gen_sample(
+            self.rng,
+            image,
+            label,
+            multi_scale=self.multi_scale,
+            is_flip=self.flip,
+            base_size=self.base_size,
+            crop_size=self.crop_size,
+            scale_factor=self.scale_factor,
+            ignore_label=self.ignore_label,
+            edge_pad=self.edge_pad,
+            edge_size=self.bd_dilate_size,
+            bgr_to_rgb=self.bgr_to_rgb,
+        )
+        return image, label, edge, size, item["name"]
+
+    def save_pred(self, preds: np.ndarray, sv_path: str, names) -> None:
+        raise NotImplementedError
