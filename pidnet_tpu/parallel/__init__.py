@@ -1,0 +1,7 @@
+from pidnet_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,158 @@
+"""Data-parallel train/eval steps via shard_map over the `data` mesh axis.
+
+Faithfulness to the reference's DataParallel semantics (SURVEY §2.7):
+
+- each shard runs its own forward with **per-shard BatchNorm statistics**
+  (like per-replica BN with batch BATCH_SIZE_PER_GPU, tools/train.py:136)
+  unless `sync_bn=True`, which pmean's batch stats across shards;
+- each shard runs its own **per-shard OHEM** (like each DataParallel
+  replica sorting only its shard, utils/criterion.py:72);
+- per-shard losses/grads are averaged with `lax.pmean` — exactly the
+  `losses.mean()` + backward of the reference (utils/function.py:43-49);
+- BN running-stat updates are pmean'd across shards (slight improvement
+  over the reference, which keeps only replica 0's buffer updates).
+
+The SGD update (torch semantics: wd folded into grad, momentum buffer,
+optional Nesterov — torch.optim.SGD as configured at tools/train.py:139-148)
+runs on replicated params outside the shard_map; XLA fuses everything
+into one program per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.parallel.mesh import DATA_AXIS
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: dict
+    state: dict  # BN running stats
+    momentum: dict  # SGD momentum buffers
+
+    @staticmethod
+    def create(params: dict, state: dict) -> "TrainState":
+        zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+        return TrainState(params=params, state=state, momentum=zeros)
+
+
+def _sgd(params, grads, bufs, lr, momentum, weight_decay, nesterov):
+    new_params, new_bufs = {}, {}
+    for k, p in params.items():
+        d = grads[k] + weight_decay * p
+        buf = momentum * bufs[k] + d
+        step = d + momentum * buf if nesterov else buf
+        new_bufs[k] = buf
+        new_params[k] = p - lr * step
+    return new_params, new_bufs
+
+
+def make_train_step(
+    spec,
+    loss_fn,
+    mesh,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0005,
+    nesterov: bool = False,
+    sync_bn: bool = False,
+    compute_dtype=None,
+):
+    """Build the jitted DP train step.
+
+    step(ts: TrainState, images, labels, edges, lr) -> (ts, metrics)
+    images NHWC f32 (sharded on dim 0), labels int32, edges f32.
+    """
+
+    n_shards = mesh.shape[DATA_AXIS]
+
+    def shard_loss(params, state, images, labels, edges):
+        def loss_of(p):
+            outputs, new_state = M.apply(
+                p,
+                state,
+                images,
+                spec,
+                train=True,
+                sync_bn_axis=DATA_AXIS if sync_bn else None,
+                compute_dtype=compute_dtype,
+            )
+            loss, metrics = loss_fn(outputs, labels, edges)
+            # Differentiating w.r.t. a REPLICATED input inside shard_map
+            # implicitly psums the cotangent across shards; scaling the
+            # per-shard loss by 1/n makes that psum the DataParallel
+            # `losses.mean()` gradient (utils/function.py:43-45).
+            return loss / n_shards, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        new_state = jax.lax.pmean(new_state, DATA_AXIS)
+        return grads, new_state, metrics
+
+    sharded = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(ts: TrainState, images, labels, edges, lr):
+        grads, new_state, metrics = sharded(
+            ts.params, ts.state, images, labels, edges
+        )
+        new_params, new_bufs = _sgd(
+            ts.params, grads, ts.momentum, lr, momentum, weight_decay, nesterov
+        )
+        return TrainState(new_params, new_state, new_bufs), metrics
+
+    return step
+
+
+def make_eval_step(spec, loss_fn, mesh, *, num_classes: int, compute_dtype=None):
+    """Validation step: per-shard forward (eval-mode BN) + loss + on-device
+    confusion matrices, psum'd across shards.
+
+    Returns (metrics, cms) where cms has shape (num_seg_outputs, C, C) —
+    the device-side equivalent of reference utils/function.py:77-128, which
+    accumulated CPU numpy confusion matrices per output.
+    """
+    from pidnet_tpu.metrics import confusion_matrix
+    from pidnet_tpu.ops.resize import resize_bilinear
+
+    def shard_eval(params, state, images, labels, edges):
+        outputs = M.apply(
+            params, state, images, spec, train=False, compute_dtype=compute_dtype
+        )
+        loss, metrics = loss_fn(outputs, labels, edges)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        h, w = labels.shape[1], labels.shape[2]
+        cms = []
+        for o in outputs[:-1]:
+            seg = resize_bilinear(o, (h, w), loss_fn.align_corners)
+            cm = confusion_matrix(seg, labels, num_classes, loss_fn.ignore_label)
+            cms.append(jax.lax.psum(cm.astype(jnp.float32), DATA_AXIS))
+        return metrics, jnp.stack(cms)
+
+    sharded = jax.shard_map(
+        shard_eval,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(ts: TrainState, images, labels, edges):
+        return sharded(ts.params, ts.state, images, labels, edges)
+
+    return step

@@ -2,15 +2,21 @@
 
 import os
 
-# Must be set before jax is imported anywhere. Force CPU: the ambient env
-# may point JAX_PLATFORMS at a real TPU (axon), but unit tests run on a
-# virtual 8-device CPU mesh.
+# Unit tests run on a virtual 8-device CPU mesh, never the real TPU.
+# The ambient axon sitecustomize registers the TPU backend at interpreter
+# start and overrides JAX_PLATFORMS, so the env var alone is NOT enough:
+# jax.config.update must run before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

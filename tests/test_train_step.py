@@ -1,0 +1,147 @@
+"""Data-parallel train/eval step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pidnet_tpu.losses import FullLoss
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.parallel import make_mesh, shard_batch
+from pidnet_tpu.train import TrainState, make_eval_step, make_train_step, poly_lr
+
+SPEC = M.spec_for("pidnet_s", 19, augment=True)
+
+
+def _batch(rng, n=8, h=64, w=64):
+    img = rng.standard_normal((n, h, w, 3), dtype=np.float32)
+    lab = rng.integers(0, 19, (n, h, w)).astype(np.int32)
+    lab[rng.random((n, h, w)) < 0.1] = 255
+    edge = (rng.random((n, h, w)) < 0.1).astype(np.float32)
+    return img, lab, edge
+
+
+@pytest.fixture(scope="module")
+def _setup():
+    mesh = make_mesh(8)
+    params, state = M.init(jax.random.PRNGKey(0), SPEC)
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=1000)
+    return mesh, params, state, loss_fn
+
+
+@pytest.fixture
+def setup(_setup):
+    # the train step donates its TrainState buffers; hand each test copies
+    mesh, params, state, loss_fn = _setup
+    return (
+        mesh,
+        jax.tree.map(jnp.copy, params),
+        jax.tree.map(jnp.copy, state),
+        loss_fn,
+    )
+
+
+def test_train_step_runs_and_learns(setup, rng):
+    mesh, params, state, loss_fn = setup
+    step = make_train_step(SPEC, loss_fn, mesh, weight_decay=5e-4)
+    ts = TrainState.create(params, state)
+    img, lab, edge = shard_batch(mesh, *_batch(rng))
+    losses = []
+    for it in range(4):
+        lr = poly_lr(1e-4, 100, it)
+        ts, metrics = step(ts, img, lab, edge, lr)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] != losses[0]  # params actually update
+    assert float(jnp.abs(ts.momentum["conv1.0.weight"]).max()) > 0
+    # BN running stats moved off init
+    assert any(
+        float(jnp.abs(v).max()) > 1e-6
+        for k, v in ts.state.items()
+        if k.endswith("running_mean")
+    )
+
+
+def test_dp_matches_single_device(setup, rng):
+    """The 8-way DP step equals a 1-device step when per-shard stats are
+    batch-identical: replicate the same per-shard batch 8x -> per-shard
+    BN/OHEM see identical data, so grads/update must match exactly."""
+    mesh8, params, state, loss_fn = setup
+    mesh1 = make_mesh(1)
+    img1, lab1, edge1 = _batch(rng, n=1)
+    img8 = np.repeat(img1, 8, 0)
+    lab8 = np.repeat(lab1, 8, 0)
+    edge8 = np.repeat(edge1, 8, 0)
+
+    step8 = make_train_step(SPEC, loss_fn, mesh8)
+    step1 = make_train_step(SPEC, loss_fn, mesh1)
+    fresh = lambda: TrainState.create(  # noqa: E731 — step donates its input
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state)
+    )
+    ts8, m8 = step8(fresh(), *shard_batch(mesh8, img8, lab8, edge8), 0.01)
+    ts1, m1 = step1(fresh(), *shard_batch(mesh1, img1, lab1, edge1), 0.01)
+    assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-5
+    for k in list(ts8.params)[:20]:
+        np.testing.assert_allclose(
+            np.asarray(ts8.params[k]), np.asarray(ts1.params[k]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_sgd_matches_torch(rng):
+    """SGD(momentum, wd) update parity vs torch.optim.SGD."""
+    import torch
+
+    from pidnet_tpu.train.step import _sgd
+
+    w0 = rng.standard_normal(16).astype(np.float32)
+    g0 = rng.standard_normal(16).astype(np.float32)
+    g1 = rng.standard_normal(16).astype(np.float32)
+
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([p], lr=0.1, momentum=0.9, weight_decay=0.01)
+    for g in (g0, g1):
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+    want = p.detach().numpy()
+
+    params = {"w": jnp.asarray(w0)}
+    bufs = {"w": jnp.zeros_like(params["w"])}
+    for g in (g0, g1):
+        params, bufs = _sgd(params, {"w": jnp.asarray(g)}, bufs, 0.1, 0.9, 0.01, False)
+    np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-6, atol=1e-6)
+
+
+def test_eval_step_confusion(setup, rng):
+    mesh, params, state, loss_fn = setup
+    step = make_eval_step(SPEC, loss_fn, mesh, num_classes=19)
+    ts = TrainState.create(params, state)
+    img, lab, edge = _batch(rng)
+    metrics, cms = step(ts, *shard_batch(mesh, img, lab, edge))
+    cms = np.asarray(cms)
+    assert cms.shape == (2, 19, 19)
+    n_valid = int((lab != 255).sum())
+    assert int(cms[0].sum()) == n_valid == int(cms[1].sum())
+    from pidnet_tpu.metrics import acc_from_cm, iou_from_cm
+
+    iou, miou = iou_from_cm(cms[1])
+    assert iou.shape == (19,) and 0 <= miou <= 1
+    pa, ma = acc_from_cm(cms[1])
+    assert 0 <= pa <= 1 and 0 <= ma <= 1
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    from pidnet_tpu.train import checkpoint as ckpt
+
+    _, params, state, _ = setup
+    ts = TrainState.create(params, state)
+    ckpt.save_train_checkpoint(str(tmp_path), 7, 0.5, ts)
+    payload = ckpt.load_train_checkpoint(str(tmp_path))
+    assert payload["epoch"] == 7 and payload["best_mIoU"] == 0.5
+    np.testing.assert_array_equal(
+        payload["params"]["conv1.0.weight"], np.asarray(params["conv1.0.weight"])
+    )
+    ckpt.save_model(str(tmp_path / "best.msgpack"), params, state)
+    p2, s2 = ckpt.load_model(str(tmp_path / "best.msgpack"))
+    assert set(p2) == set(params) and set(s2) == set(state)
