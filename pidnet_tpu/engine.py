@@ -1,0 +1,175 @@
+"""Epoch-level train/validate/test loops.
+
+The TPU-side analogues of reference utils/function.py: the host loop feeds
+prefetched fixed-shape batches to the jitted shard_map steps and keeps
+running meters; validation accumulates on-device confusion matrices per
+seg output; `testval`/`test` run single-image inference with logits
+upsampled to input size (and `.exp()`, reference base_dataset.py:136-150).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pidnet_tpu.metrics import acc_from_cm, iou_from_cm
+from pidnet_tpu.ops.resize import resize_bilinear
+from pidnet_tpu.parallel import shard_batch
+from pidnet_tpu.utils import AverageMeter
+
+log = logging.getLogger("pidnet_tpu")
+
+
+def train_one_epoch(
+    cfg,
+    epoch: int,
+    epoch_iters: int,
+    num_iters: int,
+    base_lr: float,
+    loader,
+    step_fn,
+    ts,
+    mesh,
+    writer_dict,
+):
+    """One training epoch (reference utils/function.py:21-75)."""
+    from pidnet_tpu.train import poly_lr
+
+    batch_time = AverageMeter()
+    ave_loss = AverageMeter()
+    ave_acc = AverageMeter()
+    avg_sem_loss = AverageMeter()
+    avg_bce_loss = AverageMeter()
+    tic = time.time()
+    cur_iters = epoch * epoch_iters
+
+    for i_iter, (images, labels, edges, _, _) in enumerate(loader):
+        lr = poly_lr(base_lr, num_iters, i_iter + cur_iters)
+        batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
+        ts, metrics = step_fn(ts, *batch, lr)
+
+        # pull scalars (tiny transfer; forces one step of async dispatch)
+        m = {k: float(v) for k, v in metrics.items()}
+        batch_time.update(time.time() - tic)
+        tic = time.time()
+        ave_loss.update(m["loss"])
+        ave_acc.update(m["acc"])
+        avg_sem_loss.update(m["sem_loss"])
+        avg_bce_loss.update(m["bce_loss"])
+
+        if i_iter % cfg.PRINT_FREQ == 0:
+            log.info(
+                "Epoch: [%d/%d] Iter:[%d/%d], Time: %.2f, lr: [%s], "
+                "Loss: %.6f, Acc:%.6f, Semantic loss: %.6f, BCE loss: %.6f, "
+                "SB loss: %.6f",
+                epoch,
+                cfg.TRAIN.END_EPOCH,
+                i_iter,
+                epoch_iters,
+                batch_time.average(),
+                f"{lr:.6g}",
+                ave_loss.average(),
+                ave_acc.average(),
+                avg_sem_loss.average(),
+                avg_bce_loss.average(),
+                ave_loss.average() - avg_sem_loss.average() - avg_bce_loss.average(),
+            )
+
+    writer = writer_dict["writer"]
+    writer.add_scalar("train_loss", ave_loss.average(), writer_dict["train_global_steps"])
+    writer_dict["train_global_steps"] += 1
+    return ts
+
+
+def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2):
+    """Loss + per-output confusion matrices (reference utils/function.py:77-128).
+    Returns (ave_loss, mean_IoU of the last output, its IoU array)."""
+    ave_loss = AverageMeter()
+    num_classes = cfg.DATASET.NUM_CLASSES
+    cms = np.zeros((num_outputs, num_classes, num_classes), np.float64)
+
+    for idx, (images, labels, edges, _, _) in enumerate(loader):
+        batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
+        metrics, batch_cms = eval_step(ts, *batch)
+        cms += np.asarray(batch_cms, np.float64)
+        ave_loss.update(float(metrics["loss"]))
+        if idx % 10 == 0:
+            log.info("validating: %d", idx)
+
+    for i in range(num_outputs):
+        iou, miou = iou_from_cm(cms[i])
+        log.info("%d %s %s", i, iou, miou)
+    iou_array, mean_iou = iou_from_cm(cms[-1])
+
+    writer = writer_dict["writer"]
+    writer.add_scalar("valid_loss", ave_loss.average(), writer_dict["valid_global_steps"])
+    writer.add_scalar("valid_mIoU", mean_iou, writer_dict["valid_global_steps"])
+    writer_dict["valid_global_steps"] += 1
+    return ave_loss.average(), mean_iou, iou_array
+
+
+def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None):
+    """Single-image inference closure (reference base_dataset.py:136-150):
+    model -> pick TEST.OUTPUT_INDEX -> bilinear to input size
+    (align_corners=cfg.MODEL.ALIGN_CORNERS) -> exp()."""
+    from pidnet_tpu.models import pidnet as M
+
+    @jax.jit
+    def infer(x):
+        out = M.apply(params, state, x, spec, folded=folded, compute_dtype=compute_dtype)
+        if isinstance(out, (list, tuple)):
+            if cfg.MODEL.NUM_OUTPUTS > 1:
+                out = out[cfg.TEST.OUTPUT_INDEX]
+            else:
+                out = out[-1]
+        pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
+        return jnp.exp(pred.astype(jnp.float32))
+
+    return infer
+
+
+def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = False):
+    """Labeled single-scale evaluation (reference utils/function.py:131-177)."""
+    import os
+
+    from pidnet_tpu.metrics import confusion_matrix
+
+    num_classes = cfg.DATASET.NUM_CLASSES
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    for index, (images, labels, _, _, names) in enumerate(loader):
+        pred = infer(jnp.asarray(images))
+        cm += np.asarray(
+            confusion_matrix(
+                pred, jnp.asarray(labels.astype(np.int32)), num_classes,
+                cfg.TRAIN.IGNORE_LABEL,
+            ),
+            np.float64,
+        )
+        if sv_pred:
+            sv_path = os.path.join(sv_dir, "val_results")
+            os.makedirs(sv_path, exist_ok=True)
+            dataset.save_pred(np.asarray(pred), sv_path, names)
+        if index % 100 == 0:
+            log.info("processing: %d images", index)
+            _, miou = iou_from_cm(cm)
+            log.info("mIoU: %.4f", miou)
+
+    iou_array, mean_iou = iou_from_cm(cm)
+    pixel_acc, mean_acc = acc_from_cm(cm)
+    return mean_iou, iou_array, pixel_acc, mean_acc
+
+
+def test(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = True):
+    """Unlabeled test-server inference (reference utils/function.py:180-202)."""
+    import os
+
+    for images, sizes, names in loader:
+        pred = infer(jnp.asarray(images))
+        if sv_pred:
+            sv_path = os.path.join(sv_dir, "test_results")
+            os.makedirs(sv_path, exist_ok=True)
+            dataset.save_pred(np.asarray(pred), sv_path, names)

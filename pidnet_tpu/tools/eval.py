@@ -1,0 +1,99 @@
+"""Evaluation CLI — same UX as the reference tools/eval.py:
+
+    python -m pidnet_tpu.tools.eval --cfg configs/cityscapes/pidnet_small_cityscapes.yaml \
+        [TEST.MODEL_FILE path.{msgpack,pt}]
+
+Dispatch (reference tools/eval.py:104): Cityscapes test split -> submission
+writer; otherwise labeled single-scale eval reporting mIoU / per-class
+IoU / pixel acc / mean acc.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from pidnet_tpu.config import load_config
+from pidnet_tpu import engine
+from pidnet_tpu.data import Loader, build_dataset
+from pidnet_tpu.tools import common
+from pidnet_tpu.utils import create_logger
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Eval segmentation network")
+    parser.add_argument(
+        "--cfg",
+        default="configs/cityscapes/pidnet_small_cityscapes.yaml",
+        type=str,
+    )
+    parser.add_argument(
+        "--fold-bn",
+        action="store_true",
+        help="fold BatchNorm into convs and run in bf16 (speed path)",
+    )
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.cfg, args.opts)
+    logger, final_output_dir, _ = create_logger(cfg, args.cfg, "test")
+    logger.info("%s", cfg)
+
+    spec = common.build_spec(cfg, augment=True)
+    params, state = common.init_model(cfg, spec)
+    params, state = common.maybe_load_pretrained(cfg, params, state)
+
+    if cfg.TEST.MODEL_FILE:
+        model_file = cfg.TEST.MODEL_FILE
+    else:
+        model_file = os.path.join(final_output_dir, "best.msgpack")
+    logger.info("=> loading model from %s", model_file)
+    params, state, _ = common.load_weights(model_file, params, state)
+
+    if args.fold_bn:
+        from pidnet_tpu.convert import fold_params
+
+        params, state = fold_params(params, state, spec), {}
+
+    test_size = (cfg.TEST.IMAGE_SIZE[1], cfg.TEST.IMAGE_SIZE[0])
+    test_dataset = build_dataset(
+        cfg.DATASET.DATASET,
+        root=cfg.DATASET.ROOT,
+        list_path=cfg.DATASET.TEST_SET,
+        num_classes=cfg.DATASET.NUM_CLASSES,
+        multi_scale=False,
+        flip=False,
+        ignore_label=cfg.TRAIN.IGNORE_LABEL,
+        base_size=cfg.TEST.BASE_SIZE,
+        crop_size=test_size,
+    )
+    testloader = Loader(test_dataset, 1, shuffle=False, num_workers=0)
+
+    infer = engine.make_inference(
+        cfg,
+        spec,
+        params,
+        state,
+        folded=args.fold_bn,
+        compute_dtype=jnp.bfloat16 if args.fold_bn else None,
+    )
+
+    if "test" in cfg.DATASET.TEST_SET and "city" in cfg.DATASET.DATASET:
+        engine.test(cfg, test_dataset, testloader, infer, sv_dir=final_output_dir)
+    else:
+        mean_iou, iou_array, pixel_acc, mean_acc = engine.testval(
+            cfg, test_dataset, testloader, infer, sv_dir=final_output_dir
+        )
+        logger.info(
+            "MeanIU: %.4f, Pixel_Acc: %.4f, Mean_Acc: %.4f", mean_iou, pixel_acc, mean_acc
+        )
+        logger.info("%s", iou_array)
+
+
+if __name__ == "__main__":
+    main()

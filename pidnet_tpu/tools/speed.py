@@ -1,0 +1,89 @@
+"""FPS micro-benchmark CLI — the reference speed protocol on TPU.
+
+Reference models/speed/pidnet_speed.py:236-271 (SwiftNet method): 10
+warmup iterations, calibrate the iteration count by doubling until the
+timed loop exceeds 1 s, then iterations = int(FPS * 6) and a final timed
+loop between device-sync fences. Here warmup doubles as jit compile and
+`block_until_ready` replaces cuda.synchronize; the model runs the
+automated BN-folded path in bf16 (the equivalent of the reference's
+hand-stripped BN speed copies).
+
+    python -m pidnet_tpu.tools.speed --a pidnet-s --c 19 --r 1024 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pidnet_tpu.convert import fold_params
+from pidnet_tpu.models import pidnet as M
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Speed Measurement")
+    parser.add_argument("--a", default="pidnet-s", help="pidnet-s, pidnet-m or pidnet-l")
+    parser.add_argument("--c", type=int, default=19, help="number of classes")
+    parser.add_argument("--r", type=int, nargs=2, default=[1024, 2048], help="H W")
+    parser.add_argument("--no-fold", action="store_true", help="keep BN (fp32 path)")
+    parser.add_argument("--batch", type=int, default=1)
+    return parser.parse_args(argv)
+
+
+def measure_fps(fn, x, *, warmup: int = 10) -> tuple[float, float]:
+    """Returns (latency_ms, fps) using the reference calibration protocol."""
+    for _ in range(warmup):
+        out = fn(x)
+    jax.block_until_ready(out)
+
+    iterations = 100
+    elapsed = 0.0
+    while elapsed < 1.0:
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iterations):
+            out = fn(x)
+        jax.block_until_ready(out)
+        elapsed = time.time() - t0
+        iterations *= 2
+    fps = (iterations / 2) / elapsed
+    iterations = int(fps * 6)
+
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iterations):
+        out = fn(x)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+    latency_ms = elapsed / iterations * 1000.0
+    return latency_ms, 1000.0 / latency_ms
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    h, w = args.r
+    spec = M.spec_for(args.a, args.c, augment=False)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+
+    if args.no_fold:
+        fn = jax.jit(lambda x: M.apply(params, state, x, spec))
+        x = jnp.zeros((args.batch, h, w, 3), jnp.float32)
+    else:
+        folded = fold_params(params, state, spec)
+        fn = jax.jit(
+            lambda x: M.apply(folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16)
+        )
+        x = jnp.zeros((args.batch, h, w, 3), jnp.bfloat16)
+    x = jax.device_put(x)
+
+    print("=========Speed Testing=========")
+    latency, fps = measure_fps(fn, x)
+    print(f"{args.a} {h}x{w} batch={args.batch}: {latency:.3f} ms, {fps * args.batch:.1f} FPS")
+    return fps * args.batch
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Training CLI — same UX as the reference tools/train.py:
+
+    python -m pidnet_tpu.tools.train --cfg configs/cityscapes/pidnet_small_cityscapes.yaml [KEY VALUE ...]
+
+Differences (TPU-native): the device pool is a 1-D `data` mesh
+(cfg.DEVICES, -1 = all chips) instead of cfg.GPUS; global batch =
+TRAIN.BATCH_SIZE_PER_GPU x mesh size, matching the reference's
+per-GPU-batch x n-GPUs (tools/train.py:82,152).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import timeit
+
+import numpy as np
+
+from pidnet_tpu.config import load_config
+from pidnet_tpu import engine
+from pidnet_tpu.data import Loader, build_dataset
+from pidnet_tpu.losses import FullLoss
+from pidnet_tpu.parallel import make_mesh
+from pidnet_tpu.tools import common
+from pidnet_tpu.train import TrainState, checkpoint as ckpt, make_eval_step, make_train_step
+from pidnet_tpu.utils import TBWriter, create_logger
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train segmentation network")
+    parser.add_argument(
+        "--cfg",
+        default="configs/cityscapes/pidnet_small_cityscapes.yaml",
+        type=str,
+        help="experiment configure file name",
+    )
+    parser.add_argument("--seed", type=int, default=304)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.cfg, args.opts)
+
+    logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "train")
+    logger.info("%s", cfg)
+
+    np.random.seed(args.seed)
+
+    writer_dict = {
+        "writer": TBWriter(tb_log_dir),
+        "train_global_steps": 0,
+        "valid_global_steps": 0,
+    }
+
+    mesh = make_mesh(cfg.DEVICES)
+    n_dev = mesh.devices.size
+    logger.info("data mesh over %d device(s)", n_dev)
+
+    spec = common.build_spec(cfg, augment=True)
+    params, state = common.init_model(cfg, spec, seed=args.seed)
+    params, state = common.maybe_load_pretrained(cfg, params, state)
+
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    crop_size = (cfg.TRAIN.IMAGE_SIZE[1], cfg.TRAIN.IMAGE_SIZE[0])
+    train_dataset = build_dataset(
+        cfg.DATASET.DATASET,
+        root=cfg.DATASET.ROOT,
+        list_path=cfg.DATASET.TRAIN_SET,
+        num_classes=cfg.DATASET.NUM_CLASSES,
+        multi_scale=cfg.TRAIN.MULTI_SCALE,
+        flip=cfg.TRAIN.FLIP,
+        ignore_label=cfg.TRAIN.IGNORE_LABEL,
+        base_size=cfg.TRAIN.BASE_SIZE,
+        crop_size=crop_size,
+        scale_factor=cfg.TRAIN.SCALE_FACTOR,
+        seed=args.seed,
+    )
+    trainloader = Loader(
+        train_dataset,
+        batch_size,
+        shuffle=cfg.TRAIN.SHUFFLE,
+        drop_last=True,
+        num_workers=cfg.WORKERS,
+        seed=args.seed,
+    )
+
+    test_size = (cfg.TEST.IMAGE_SIZE[1], cfg.TEST.IMAGE_SIZE[0])
+    test_dataset = build_dataset(
+        cfg.DATASET.DATASET,
+        root=cfg.DATASET.ROOT,
+        list_path=cfg.DATASET.TEST_SET,
+        num_classes=cfg.DATASET.NUM_CLASSES,
+        multi_scale=False,
+        flip=False,
+        ignore_label=cfg.TRAIN.IGNORE_LABEL,
+        base_size=cfg.TEST.BASE_SIZE,
+        crop_size=test_size,
+        seed=args.seed,
+    )
+    # validation shards the batch over the mesh, one sample per device
+    testloader = Loader(
+        test_dataset, n_dev, shuffle=False, drop_last=True, num_workers=cfg.WORKERS
+    )
+
+    loss_fn = FullLoss(
+        num_outputs=cfg.MODEL.NUM_OUTPUTS,
+        align_corners=cfg.MODEL.ALIGN_CORNERS,
+        ignore_label=cfg.TRAIN.IGNORE_LABEL,
+        class_weights=train_dataset.class_weights,
+        use_ohem=cfg.LOSS.USE_OHEM,
+        ohem_thres=cfg.LOSS.OHEMTHRES,
+        ohem_kept=cfg.LOSS.OHEMKEEP,
+        balance_weights=cfg.LOSS.BALANCE_WEIGHTS,
+        sb_weights=cfg.LOSS.SB_WEIGHTS,
+    )
+
+    if cfg.TRAIN.OPTIMIZER != "sgd":
+        raise ValueError("Only Support SGD optimizer")
+
+    train_step = make_train_step(
+        spec,
+        loss_fn,
+        mesh,
+        momentum=cfg.TRAIN.MOMENTUM,
+        weight_decay=cfg.TRAIN.WD,
+        nesterov=cfg.TRAIN.NESTEROV,
+        sync_bn=cfg.XLA.SYNC_BN,
+    )
+    eval_step = make_eval_step(
+        spec, loss_fn, mesh, num_classes=cfg.DATASET.NUM_CLASSES
+    )
+
+    ts = TrainState.create(params, state)
+
+    epoch_iters = len(train_dataset) // batch_size
+    best_miou = 0.0
+    last_epoch = 0
+    flag_rm = cfg.TRAIN.RESUME
+    if cfg.TRAIN.RESUME:
+        payload = ckpt.load_train_checkpoint(final_output_dir)
+        if payload is not None:
+            best_miou = payload["best_mIoU"]
+            last_epoch = payload["epoch"]
+            ts = TrainState(payload["params"], payload["state"], payload["momentum"])
+            logger.info("=> loaded checkpoint (epoch %d)", last_epoch)
+
+    start = timeit.default_timer()
+    end_epoch = cfg.TRAIN.END_EPOCH
+    num_iters = end_epoch * epoch_iters
+    # CamVid trains 120 epochs regardless of END_EPOCH (reference
+    # tools/train.py:172)
+    real_end = 120 + 1 if "camvid" in cfg.DATASET.TRAIN_SET else end_epoch
+
+    valid_loss, mean_iou, iou_array = float("nan"), 0.0, None
+    for epoch in range(last_epoch, real_end):
+        ts = engine.train_one_epoch(
+            cfg, epoch, epoch_iters, num_iters, cfg.TRAIN.LR,
+            trainloader, train_step, ts, mesh, writer_dict,
+        )
+
+        if (
+            flag_rm == 1
+            or (epoch % 5 == 0 and epoch < real_end - 100)
+            or (epoch >= real_end - 100)
+        ):
+            valid_loss, mean_iou, iou_array = engine.validate(
+                cfg, testloader, eval_step, ts, mesh, writer_dict,
+                num_outputs=cfg.MODEL.NUM_OUTPUTS,
+            )
+        if flag_rm == 1:
+            flag_rm = 0
+
+        logger.info("=> saving checkpoint to %s", final_output_dir)
+        ckpt.save_train_checkpoint(final_output_dir, epoch + 1, best_miou, ts)
+        if mean_iou > best_miou:
+            best_miou = mean_iou
+            ckpt.save_model(
+                os.path.join(final_output_dir, "best.msgpack"), ts.params, ts.state
+            )
+        logger.info(
+            "Loss: %.3f, MeanIU: %.4f, Best_mIoU: %.4f", valid_loss, mean_iou, best_miou
+        )
+        if iou_array is not None:
+            logger.info("%s", iou_array)
+
+    ckpt.save_model(
+        os.path.join(final_output_dir, "final_state.msgpack"), ts.params, ts.state
+    )
+    writer_dict["writer"].close()
+    logger.info("Hours: %d", int((timeit.default_timer() - start) / 3600))
+    logger.info("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Thin shim preserving the reference CLI layout (tools/custom.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pidnet_tpu.tools.custom import main
+
+if __name__ == "__main__":
+    main()
