@@ -29,7 +29,9 @@ def main():
     folded = fold_params(params, state, spec)
 
     fn = jax.jit(
-        lambda x: M.apply(folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16)
+        lambda x: M.apply(
+            folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16, stem_s2d=True
+        )
     )
     x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16))
     latency_ms, fps = measure_fps(fn, x)

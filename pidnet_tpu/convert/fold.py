@@ -45,6 +45,26 @@ def fold_params(params: dict, state: dict, spec) -> dict:
             if has_bias:
                 folded[name + ".bias"] = params[name + ".bias"]
 
+    # space-to-depth variants of the front of the network (stem + layer1 +
+    # layer2.0's strided convs — identical math, MXU-friendly; consumed by
+    # apply(..., stem_s2d=True), see models.pidnet._ApplyOps.stem_front)
+    from pidnet_tpu.ops.space_to_depth import s2d_conv_bias, s2d_conv_weight
+
+    def s2d(name, in_block, stride):
+        K, _ = s2d_conv_weight(folded[name + ".weight"], in_block, stride)
+        folded[f"s2d.{name}.weight"] = K
+        folded[f"s2d.{name}.bias"] = s2d_conv_bias(
+            folded[name + ".bias"], in_block // stride
+        )
+
+    s2d("conv1.0", 8, 2)
+    s2d("conv1.3", 4, 2)
+    for i in range(spec.m):
+        s2d(f"layer1.{i}.conv1", 2, 1)
+        s2d(f"layer1.{i}.conv2", 2, 1)
+    s2d("layer2.0.conv1", 2, 2)
+    s2d("layer2.0.downsample.0", 2, 2)
+
     for bn_name in traced.bns:
         if bn_name in paired_bns:
             continue  # merged into a conv above

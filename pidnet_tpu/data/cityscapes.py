@@ -71,6 +71,10 @@ class Cityscapes(SegDataset):
 
     def convert_label(self, label: np.ndarray, inverse: bool = False) -> np.ndarray:
         lut = self._inv_lut if inverse else self._fwd_lut
+        if label.dtype == np.uint8:
+            from pidnet_tpu.data import native
+
+            return native.lut_remap_u8(label, lut)
         return lut[label]
 
     def _load_image(self, path: str) -> np.ndarray:

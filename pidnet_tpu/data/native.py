@@ -1,0 +1,68 @@
+"""ctypes bindings for the native host-pipeline kernels (native/).
+
+Falls back to numpy transparently when the shared library hasn't been
+built (`make -C native`). All entry points match the numpy semantics used
+in transforms.py / cityscapes.py exactly (tested in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libpidnet_host.so")
+_lib = None
+if os.path.isfile(_LIB_PATH):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.normalize_u8_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib.lut_remap_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _lib.hflip_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+    except OSError:
+        _lib = None
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def normalize_u8_f32(
+    image: np.ndarray, mean: np.ndarray, std: np.ndarray, *, bgr_to_rgb: bool
+) -> np.ndarray:
+    """u8 HWC -> f32 HWC, fused (BGR flip, /255, -mean, /std) in one pass."""
+    assert image.dtype == np.uint8 and image.ndim == 3 and image.shape[2] == 3
+    image = np.ascontiguousarray(image)
+    out = np.empty(image.shape, np.float32)
+    if _lib is not None:
+        m = np.ascontiguousarray(mean, np.float32)
+        s = np.ascontiguousarray(std, np.float32)
+        _lib.normalize_u8_f32(
+            image.ctypes.data, out.ctypes.data, image.shape[0] * image.shape[1],
+            int(bgr_to_rgb), m.ctypes.data, s.ctypes.data,
+        )
+        return out
+    x = image.astype(np.float32)
+    if bgr_to_rgb:
+        x = x[:, :, ::-1]
+    return ((x / 255.0 - mean) / std).astype(np.float32)
+
+
+def lut_remap_u8(label: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    assert label.dtype == np.uint8 and lut.shape == (256,)
+    label = np.ascontiguousarray(label)
+    if _lib is not None:
+        out = np.empty(label.shape, np.uint8)
+        l = np.ascontiguousarray(lut, np.uint8)
+        _lib.lut_remap_u8(label.ctypes.data, out.ctypes.data, label.size, l.ctypes.data)
+        return out
+    return lut[label]

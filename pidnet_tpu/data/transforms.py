@@ -28,6 +28,14 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def input_transform(image: np.ndarray, *, bgr_to_rgb: bool) -> np.ndarray:
+    if image.dtype == np.uint8:
+        # single-pass native kernel (numpy fallback inside when the .so
+        # isn't built) — the host has one core, every pass counts
+        from pidnet_tpu.data import native
+
+        return native.normalize_u8_f32(
+            image, IMAGENET_MEAN, IMAGENET_STD, bgr_to_rgb=bgr_to_rgb
+        )
     image = image.astype(np.float32)
     if bgr_to_rgb:
         image = image[:, :, ::-1]

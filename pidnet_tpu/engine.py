@@ -120,7 +120,10 @@ def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None
 
     @jax.jit
     def infer(x):
-        out = M.apply(params, state, x, spec, folded=folded, compute_dtype=compute_dtype)
+        out = M.apply(
+            params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
+            stem_s2d=folded,
+        )
         if isinstance(out, (list, tuple)):
             if cfg.MODEL.NUM_OUTPUTS > 1:
                 out = out[cfg.TEST.OUTPUT_INDEX]

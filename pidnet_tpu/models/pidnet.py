@@ -78,6 +78,7 @@ class _ApplyOps:
         sync_axis: str | None,
         compute_dtype,
         folded: bool,
+        stem_s2d: bool = False,
     ):
         self.params = params
         self.state = state
@@ -85,7 +86,56 @@ class _ApplyOps:
         self.sync_axis = sync_axis
         self.compute_dtype = compute_dtype
         self.folded = folded
+        self.stem_s2d = stem_s2d
         self.new_state: dict = {}
+
+    def stem_front(self, x, spec):
+        """Stem + layer1 + layer2 entirely in space-to-depth space (folded
+        inference only; weights prebuilt by convert/fold.py from the traced
+        kernels — identical math, see ops/space_to_depth.py). Every tensor
+        keeps >=128 channels so the MXU stays occupied and XLA stops
+        inserting layout-conversion copies; layer2's stride-2 conv absorbs
+        the final depth-to-space for free. Returns relu(layer2) at 1/8."""
+        from pidnet_tpu.ops.space_to_depth import space_to_depth
+
+        cd = self.compute_dtype
+        P10, P11, P00 = ((1, 0), (1, 0)), ((1, 1), (1, 1)), ((0, 0), (0, 0))
+
+        def cv(name, z, pad):
+            return conv2d(
+                z,
+                self.params[f"s2d.{name}.weight"],
+                self.params[f"s2d.{name}.bias"],
+                stride=1,
+                compute_dtype=cd,
+                padding=pad,
+            )
+
+        y = space_to_depth(x, 8)  # (N,H/8,W/8,192)
+        y = relu(cv("conv1.0", y, P10))  # s2d4 of conv1 out
+        y = relu(cv("conv1.3", y, P10))  # s2d2 of stem out
+        for i in range(spec.m):  # layer1 basic blocks, all in s2d2
+            out = relu(cv(f"layer1.{i}.conv1", y, P11))
+            out = cv(f"layer1.{i}.conv2", out, P11)
+            y = out + y
+            if i < spec.m - 1:
+                y = relu(y)
+        y = relu(y)  # external relu after layer1 (pidnet.py:143)
+        # layer2 block 0: the stride-2 convs return to normal layout
+        out = relu(cv("layer2.0.conv1", y, P10))
+        out = conv2d(
+            out,
+            self.params["layer2.0.conv2.weight"],
+            self.params["layer2.0.conv2.bias"],
+            compute_dtype=cd,
+        )
+        y = out + cv("layer2.0.downsample.0", y, P00)
+        y = relu(y)
+        for i in range(1, spec.m):  # remaining layer2 blocks, normal space
+            y = _basic_block(
+                self, f"layer2.{i}", y, spec.planes * 2, 1, no_relu=(i == spec.m - 1)
+            )
+        return relu(y)
 
     def conv(self, name, x, cout, k, stride=1, groups=1, bias=False):
         w = self.params[name + ".weight"]
@@ -141,6 +191,7 @@ class _TraceOps:
     def convbn(self, conv_name, bn_name, x, cout, k, stride=1, groups=1, bias=False):
         self.fold_pairs.append((conv_name, bn_name))
         return self.bn(bn_name, self.conv(conv_name, x, cout, k, stride, groups, bias))
+
 
 
 # ---------------------------------------------------------------------------
@@ -345,13 +396,16 @@ def _forward(ops, x, spec: PIDNetSpec):
     p = spec.planes
     h8, w8 = x.shape[1] // 8, x.shape[2] // 8
 
-    # stem: /4 (reference pidnet.py:24-31; these two convs keep the torch
-    # default bias=True — the only biased convs outside segment heads)
-    x = relu(ops.convbn("conv1.0", "conv1.1", x, p, 3, 2, bias=True))
-    x = relu(ops.convbn("conv1.3", "conv1.4", x, p, 3, 2, bias=True))
-
-    x = _layer(ops, "layer1", x, "basic", p, spec.m)
-    x = relu(_layer(ops, "layer2", relu(x), "basic", p * 2, spec.m, stride=2))
+    if getattr(ops, "stem_s2d", False):
+        # folded speed path: stem+layer1+layer2 in space-to-depth space
+        x = ops.stem_front(x, spec)
+    else:
+        # stem: /4 (reference pidnet.py:24-31; these two convs keep the
+        # torch default bias=True — the only biased convs outside heads)
+        x = relu(ops.convbn("conv1.0", "conv1.1", x, p, 3, 2, bias=True))
+        x = relu(ops.convbn("conv1.3", "conv1.4", x, p, 3, 2, bias=True))
+        x = _layer(ops, "layer1", x, "basic", p, spec.m)
+        x = relu(_layer(ops, "layer2", relu(x), "basic", p * 2, spec.m, stride=2))
 
     x_ = _layer(ops, "layer3_", x, "basic", p * 2, spec.m)  # P @1/8
     if spec.m == 2:
@@ -466,6 +520,7 @@ def apply(
     sync_bn_axis: str | None = None,
     compute_dtype=None,
     folded: bool = False,
+    stem_s2d: bool = False,
 ):
     """Run the network on NHWC input.
 
@@ -473,8 +528,12 @@ def apply(
     `folded=True` expects parameters produced by `convert.fold.fold_params`
     (inference-only; replaces each conv+BN with a biased conv — the
     automated equivalent of the reference's hand-edited BN-free speed
-    models, models/speed/pidnet_speed.py:37-40).
+    models, models/speed/pidnet_speed.py:37-40). `stem_s2d=True` (folded
+    only) additionally runs the first stem conv as a space-to-depth 2x2
+    conv — identical math, much better MXU occupancy at full resolution.
     """
+    if stem_s2d and not folded:
+        raise ValueError("stem_s2d requires folded params")
     ops = _ApplyOps(
         params,
         state,
@@ -482,6 +541,7 @@ def apply(
         sync_axis=sync_bn_axis,
         compute_dtype=compute_dtype,
         folded=folded,
+        stem_s2d=stem_s2d,
     )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

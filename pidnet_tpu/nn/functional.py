@@ -26,15 +26,19 @@ def conv2d(
     stride: int = 1,
     groups: int = 1,
     compute_dtype=None,
+    padding=None,
 ) -> jnp.ndarray:
     """2-D convolution, NHWC x HWIO -> NHWC, torch-style SAME-ish padding.
 
     All PIDNet convs use kernel k in {1,3} with padding k//2, so padding is
-    derived from the kernel shape. When `compute_dtype` is bf16 the matmul
-    runs on the MXU in bf16 with fp32 accumulation.
+    derived from the kernel shape unless given explicitly. When
+    `compute_dtype` is bf16 the matmul runs on the MXU in bf16 with fp32
+    accumulation.
     """
     kh, kw = w.shape[0], w.shape[1]
-    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    pad = padding if padding is not None else (
+        (kh // 2, kh // 2), (kw // 2, kw // 2)
+    )
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

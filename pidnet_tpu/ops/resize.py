@@ -36,13 +36,16 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     if in_size == out_size:
         np.fill_diagonal(A, 1.0)
         return A
-    i = np.arange(out_size, dtype=np.float64)
+    # source indices computed in float32, matching torch's CPU float path
+    # (ATen area_pixel_compute_source_index<float>) to the ulp — float64
+    # here yields weights off by ~1e-6 and logits off by ~2e-5.
+    i = np.arange(out_size, dtype=np.float32)
     if align_corners:
-        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        scale = np.float32(in_size - 1) / np.float32(out_size - 1) if out_size > 1 else np.float32(0)
         src = i * scale
     else:
-        scale = in_size / out_size
-        src = np.maximum((i + 0.5) * scale - 0.5, 0.0)
+        scale = np.float32(in_size) / np.float32(out_size)
+        src = np.maximum((i + np.float32(0.5)) * scale - np.float32(0.5), np.float32(0))
     i0 = np.floor(src).astype(np.int64)
     i0 = np.minimum(i0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
@@ -68,23 +71,32 @@ def resize_bilinear(
     dtype = x.dtype
     ah = jnp.asarray(_interp_matrix(h, oh, align_corners))
     aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
-    # fp32 math at HIGHEST precision: TPU's default matmul precision is
-    # bf16-decomposed, which would break logit parity with the reference.
-    y = x.astype(jnp.float32)
+    if dtype == jnp.bfloat16:
+        # speed path: bf16 operands at native MXU precision with fp32
+        # accumulation (interpolation weights are exact in bf16 only for
+        # power-of-two ratios; error is below bf16 activation noise)
+        y = x
+        precision = None
+    else:
+        # parity path: fp32 math at HIGHEST precision — TPU's default
+        # matmul precision is bf16-decomposed, which would break logit
+        # parity with the reference.
+        y = x.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
     # contract H: (oh,h) x (n,h,w,c) -> (n,oh,w,c)
     y = jnp.einsum(
         "ph,nhwc->npwc",
-        ah,
+        ah.astype(y.dtype),
         y,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     # contract W: (ow,w) x (n,oh,w,c) -> (n,oh,ow,c)
     y = jnp.einsum(
         "qw,npwc->npqc",
-        aw,
+        aw.astype(y.dtype),
         y,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return y.astype(dtype)

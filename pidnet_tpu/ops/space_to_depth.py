@@ -1,0 +1,98 @@
+"""Space-to-depth stem transform (TPU MXU optimization).
+
+The reference stem (models/pidnet.py:24-31) is two 3x3 stride-2 convs at
+full/half resolution with 3 and 32 input channels. Those channel counts
+fill 2-25% of the 128-lane MXU, and profiling shows the stem plus its
+layout copies cost ~45% of the whole PIDNet-S inference step.
+
+The fix (the MLPerf-ResNet space-to-depth trick, generalized): run the
+stem in space-to-depth space, where every tensor keeps >=128 channels:
+
+    raw (N,1024,2048,3)
+      -> s2d8                          (N,128,256,192)     [free: ~14 us]
+      -> conv 2x2 K1 (192->16*planes)  (N,128,256,512)     [= s2d4 of conv1.0 out]
+      -> relu
+      -> conv 2x2 K2 (512->4*planes)   (N,128,256,128)     [= s2d2 of conv1.3 out]
+      -> d2s2                          (N,256,512,planes)
+
+K1/K2 are the original 3x3 kernels re-indexed over s2d blocks (zero taps
+outside the receptive field); the math is IDENTICAL to the reference stem
+(verified to 1e-8 in fp32). MACs grow ~4-7x on the stem but wall time
+drops ~6x (2.50 ms -> 0.39 ms measured on v5e at 2048x1024).
+
+Derivation of the kernel re-indexing, for a 3x3 stride-2 conv consuming
+s2d(in_block) input and producing s2d(out_block) output (out_block =
+in_block/2): output block-row P in {0,1} relative to (p-1), in-offset aI,
+out-offset aO:  raw tap di = in_block*(P-1) + aI - 2*aO, kept iff
+di in [-1,1]. Padding ((1,0),(1,0)) supplies the p-1 block at the border,
+matching the original conv's zero padding of 1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(N,H,W,C) -> (N,H/b,W/b,b*b*C); channel index = (a*b + b_col)*C + c."""
+    n, h, w, c = x.shape
+    assert h % block == 0 and w % block == 0, (h, w, block)
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, block * block * c)
+
+
+def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Inverse of space_to_depth."""
+    n, h, w, c = x.shape
+    c_out = c // (block * block)
+    x = x.reshape(n, h, w, block, block, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, c_out)
+
+
+def s2d_conv_weight(w, in_block: int, stride: int = 2):
+    """Re-index a kxk (k in {1,3}) stride-`stride` conv kernel (k,k,C,O)
+    into an equivalent conv over s2d(in_block) input producing
+    s2d(in_block//stride) output.
+
+    Returns (K, padding) where K has shape
+    (T, T, in_block^2*C, out_block^2*O) and `padding` is the 2-D conv
+    padding that reproduces the original conv's zero padding of k//2.
+
+    Derivation: original output row r = p*out_block + aO needs input row
+    stride*r + di = in_block*p + stride*aO + di (di in [-(k//2), k//2]);
+    in s2d-in coordinates that is block p + t, offset aI with
+    t = floor((stride*aO + di)/in_block), aI = (stride*aO+di) mod in_block.
+    """
+    w = np.asarray(w, np.float32)
+    k, kw_, c, o = w.shape
+    assert k == kw_ and k in (1, 3) and in_block % stride == 0
+    out_block = in_block // stride
+    lo, hi = -(k // 2), k // 2
+    t_lo = -1 if lo < 0 else 0
+    t_hi = (in_block - stride + hi) // in_block
+    T = t_hi - t_lo + 1
+    K = np.zeros((T, T, in_block, in_block, c, out_block, out_block, o), np.float32)
+    for P in range(T):
+        for aI in range(in_block):
+            for aO in range(out_block):
+                di = in_block * (t_lo + P) + aI - stride * aO
+                if not lo <= di <= hi:
+                    continue
+                for Q in range(T):
+                    for bI in range(in_block):
+                        for bO in range(out_block):
+                            dj = in_block * (t_lo + Q) + bI - stride * bO
+                            if not lo <= dj <= hi:
+                                continue
+                            K[P, Q, aI, bI, :, aO, bO, :] = w[di - lo, dj - lo]
+    K = K.reshape(T, T, in_block * in_block * c, out_block * out_block * o)
+    pad = (-t_lo, T - 1 + t_lo)  # top = -t_lo, top+bottom = T-1
+    return jnp.asarray(K), (pad, pad)
+
+
+def s2d_conv_bias(b, out_block: int) -> jnp.ndarray:
+    """Tile a per-channel bias over the s2d output blocks."""
+    return jnp.asarray(np.tile(np.asarray(b, np.float32), out_block * out_block))

@@ -74,7 +74,10 @@ def main(argv=None):
     else:
         folded = fold_params(params, state, spec)
         fn = jax.jit(
-            lambda x: M.apply(folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16)
+            lambda x: M.apply(
+                folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16,
+                stem_s2d=True,
+            )
         )
         x = jnp.zeros((args.batch, h, w, 3), jnp.bfloat16)
     x = jax.device_put(x)

@@ -36,12 +36,22 @@ def parse_args(argv=None):
         help="experiment configure file name",
     )
     parser.add_argument("--seed", type=int, default=304)
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host TPU slices; "
+        "the same mesh program then spans hosts over DCN",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     cfg = load_config(args.cfg, args.opts)
 
     logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "train")
@@ -120,6 +130,8 @@ def main(argv=None):
     if cfg.TRAIN.OPTIMIZER != "sgd":
         raise ValueError("Only Support SGD optimizer")
 
+    import jax.numpy as jnp
+
     train_step = make_train_step(
         spec,
         loss_fn,
@@ -128,6 +140,7 @@ def main(argv=None):
         weight_decay=cfg.TRAIN.WD,
         nesterov=cfg.TRAIN.NESTEROV,
         sync_bn=cfg.XLA.SYNC_BN,
+        compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
     )
     eval_step = make_eval_step(
         spec, loss_fn, mesh, num_classes=cfg.DATASET.NUM_CLASSES
@@ -154,6 +167,11 @@ def main(argv=None):
     # tools/train.py:172)
     real_end = 120 + 1 if "camvid" in cfg.DATASET.TRAIN_SET else end_epoch
 
+    if cfg.XLA.PROFILE_DIR:
+        import jax
+
+        jax.profiler.start_trace(cfg.XLA.PROFILE_DIR)
+
     valid_loss, mean_iou, iou_array = float("nan"), 0.0, None
     for epoch in range(last_epoch, real_end):
         ts = engine.train_one_epoch(
@@ -172,6 +190,10 @@ def main(argv=None):
             )
         if flag_rm == 1:
             flag_rm = 0
+        if cfg.XLA.PROFILE_DIR and epoch == last_epoch:
+            import jax
+
+            jax.profiler.stop_trace()  # profile covers the first epoch
 
         logger.info("=> saving checkpoint to %s", final_output_dir)
         ckpt.save_train_checkpoint(final_output_dir, epoch + 1, best_miou, ts)

@@ -28,6 +28,8 @@ def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "models"))
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of
+    # which other tests ran before it
     return np.random.default_rng(304)

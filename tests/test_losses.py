@@ -41,7 +41,7 @@ def test_cross_entropy_weighted_mean(rng):
         weight=torch.from_numpy(weights), ignore_index=IGNORE,
     ).item()
     got = float(cross_entropy(logits, labels, weights, IGNORE))
-    assert abs(got - want) < 1e-5
+    assert abs(got - want) < 5e-5
 
 
 def test_cross_entropy_numel_mean(rng):

@@ -99,7 +99,8 @@ def test_pred_model_parity(rng):
 
 
 def test_folded_inference_matches(rng):
-    """BN folding (automated speed-model equivalent) preserves outputs."""
+    """BN folding (automated speed-model equivalent) preserves outputs,
+    with and without the space-to-depth stem."""
     import jax
 
     spec = M.spec_for("pidnet_s", 19, augment=False)
@@ -114,6 +115,9 @@ def test_folded_inference_matches(rng):
     folded = fold_params(params, state, spec)
     got = np.asarray(M.apply(folded, {}, x, spec, folded=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    # deep-s2d stem is mathematically identical to the folded stem
+    got_s2d = np.asarray(M.apply(folded, {}, x, spec, folded=True, stem_s2d=True))
+    np.testing.assert_allclose(got_s2d, got, rtol=1e-5, atol=1e-6)
 
 
 def test_model_prefix_strip(rng):
