@@ -47,13 +47,19 @@ def train_one_epoch(
     tic = time.time()
     cur_iters = epoch * epoch_iters
 
+    prev_metrics = None
     for i_iter, (images, labels, edges, _, _) in enumerate(loader):
         lr = poly_lr(base_lr, num_iters, i_iter + cur_iters)
         batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
         ts, metrics = step_fn(ts, *batch, lr)
 
-        # pull scalars (tiny transfer; forces one step of async dispatch)
-        m = {k: float(v) for k, v in metrics.items()}
+        # pull the PREVIOUS step's scalars: keeps one step in flight so the
+        # host-side data pipeline overlaps device compute
+        if prev_metrics is None:
+            prev_metrics = metrics
+            continue
+        m = {k: float(v) for k, v in prev_metrics.items()}
+        prev_metrics = metrics
         batch_time.update(time.time() - tic)
         tic = time.time()
         ave_loss.update(m["loss"])
@@ -78,6 +84,13 @@ def train_one_epoch(
                 avg_bce_loss.average(),
                 ave_loss.average() - avg_sem_loss.average() - avg_bce_loss.average(),
             )
+
+    if prev_metrics is not None:  # flush the final in-flight step's metrics
+        m = {k: float(v) for k, v in prev_metrics.items()}
+        ave_loss.update(m["loss"])
+        ave_acc.update(m["acc"])
+        avg_sem_loss.update(m["sem_loss"])
+        avg_bce_loss.update(m["bce_loss"])
 
     writer = writer_dict["writer"]
     writer.add_scalar("train_loss", ave_loss.average(), writer_dict["train_global_steps"])

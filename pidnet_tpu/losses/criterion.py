@@ -34,22 +34,53 @@ import jax.numpy as jnp
 _BIG = 2.0  # sentinel prob for invalid pixels; any real prob is < 1
 
 
-def _per_pixel_ce(logits, labels, class_weights, ignore_label):
-    """Returns (weighted per-pixel nll, per-pixel class weight, valid mask).
+def _kth_smallest(x: jnp.ndarray, k) -> jnp.ndarray:
+    """Exact k-th smallest (0-indexed) of a 1-D array of NON-NEGATIVE
+    floats, without sorting: 32-step binary search over the uint32 bit
+    space (bit patterns of non-negative IEEE floats are order-isomorphic).
+    Each step is one fused compare+reduce pass — ~10x cheaper than XLA's
+    full sort at OHEM sizes (6M pixels)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    k1 = (jnp.asarray(k, jnp.int32) + 1).astype(jnp.int32)
 
-    logits: (..., C) float; labels: (...,) int.
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + ((hi - lo) >> 1)
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32))
+        take_low = cnt >= k1
+        return (
+            jnp.where(take_low, lo, mid + jnp.uint32(1)),
+            jnp.where(take_low, mid, hi),
+        )
+
+    # derive the initial bounds from the data so the loop carry is
+    # device-varying under shard_map (a literal carry trips the vma check)
+    zero = bits[0] & jnp.uint32(0)
+    lo, _ = jax.lax.fori_loop(0, 32, body, (zero, zero | jnp.uint32(0xFFFFFFFF)))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
+def _per_pixel_ce(logits, labels, class_weights, ignore_label):
+    """Returns (raw per-pixel nll, per-pixel class weight, valid mask).
+
+    logits: (..., C) float; labels: (...,) int. The label gather is
+    expressed as a one-hot select+reduce over the class dim — on TPU a
+    fused vector op, where `take_along_axis`/`w[labels]` lower to serial
+    6M-element gathers costing ~100 ms each at training resolution.
     """
     num_classes = logits.shape[-1]
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    onehot = safe_labels[..., None] == jnp.arange(num_classes, dtype=jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     if class_weights is not None:
-        w = jnp.asarray(class_weights, jnp.float32)[safe_labels]
+        cw = jnp.asarray(class_weights, jnp.float32)
+        w = jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)
-    return nll * w, w, valid
+    return nll, w, valid
 
 
 def cross_entropy(
@@ -66,7 +97,8 @@ def cross_entropy(
     (utils/function.py:44), ignored pixels contributing 0 to the numerator
     but 1 to the denominator.
     """
-    wl, w, _ = _per_pixel_ce(logits, labels, class_weights, ignore_label)
+    nll, w, _ = _per_pixel_ce(logits, labels, class_weights, ignore_label)
+    wl = nll * w
     if divide_by == "numel":
         return jnp.sum(wl) / wl.size
     return jnp.sum(wl) / jnp.maximum(jnp.sum(w), 1e-12)
@@ -82,20 +114,19 @@ def ohem_cross_entropy(
 ):
     """Online hard-example mining CE (reference criterion.py:63-78)."""
     min_kept = max(1, int(min_kept))
-    wl, _, valid = _per_pixel_ce(logits, labels, class_weights, ignore_label)
-    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
-    true_prob = jnp.take_along_axis(prob, safe_labels[..., None], axis=-1)[..., 0]
-    true_prob = jnp.where(valid, true_prob, _BIG).reshape(-1)
+    nll, w, valid = _per_pixel_ce(logits, labels, class_weights, ignore_label)
+    wl = nll * w
+    # predicted prob of the true class = exp(log_softmax[label]) = exp(-nll)
+    true_prob = jnp.where(valid, jnp.exp(-jax.lax.stop_gradient(nll)), _BIG)
+    true_prob = true_prob.reshape(-1)
 
     # kth smallest valid prob (reference: sorted pred[min(min_kept, nvalid-1)],
-    # criterion.py:73). Invalid pixels sort to the end via the _BIG sentinel;
-    # the clamp to nvalid-1 makes the degenerate almost-all-ignored case match
-    # the reference exactly too.
-    sorted_probs = jnp.sort(true_prob)
+    # criterion.py:73) — found by exact bit-space bisection, no sort. Invalid
+    # pixels rank last via the _BIG sentinel; the clamp to nvalid-1 makes the
+    # degenerate almost-all-ignored case match the reference exactly too.
     nvalid = jnp.sum(valid)
     k = jnp.clip(jnp.minimum(min_kept, nvalid - 1), 0, true_prob.size - 1)
-    kth = jnp.take(sorted_probs, k)
+    kth = _kth_smallest(true_prob, k)
     threshold = jnp.maximum(kth, thres)
 
     keep = valid.reshape(-1) & (true_prob < threshold)

@@ -44,11 +44,15 @@ def conv2d(
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
         precision = None  # native MXU precision for the requested dtype
+        # keep in/out dtypes uniform so the conv VJP stays well-typed; the
+        # MXU accumulates bf16 products in fp32 internally regardless
+        preferred = compute_dtype
     else:
         w = w.astype(in_dtype)
         # fp32 parity path: TPU's default conv precision is bf16-decomposed,
         # which would break logit parity with the reference.
         precision = lax.Precision.HIGHEST
+        preferred = jnp.float32
     y = lax.conv_general_dilated(
         x,
         w,
@@ -56,7 +60,7 @@ def conv2d(
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
         precision=precision,
     )
     if b is not None:
