@@ -104,8 +104,20 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
     ave_loss = AverageMeter()
     num_classes = cfg.DATASET.NUM_CLASSES
     cms = np.zeros((num_outputs, num_classes, num_classes), np.float64)
+    batch_size = loader.batch_size
 
     for idx, (images, labels, edges, _, _) in enumerate(loader):
+        if images.shape[0] < batch_size:
+            # pad the final partial batch so it still shards over the mesh;
+            # padded samples carry all-ignore labels, so they contribute
+            # nothing to the confusion matrices (loss meter only is skewed
+            # by the padding — matching drop-nothing semantics for mIoU)
+            pad = batch_size - images.shape[0]
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+            labels = np.concatenate(
+                [labels, np.full((pad, *labels.shape[1:]), cfg.TRAIN.IGNORE_LABEL, labels.dtype)]
+            )
+            edges = np.concatenate([edges, np.zeros((pad, *edges.shape[1:]), edges.dtype)])
         batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
         metrics, batch_cms = eval_step(ts, *batch)
         cms += np.asarray(batch_cms, np.float64)

@@ -110,9 +110,11 @@ def main(argv=None):
         crop_size=test_size,
         seed=args.seed,
     )
-    # validation shards the batch over the mesh, one sample per device
+    # validation shards the batch over the mesh, one sample per device;
+    # engine.validate pads the final partial batch with ignore-labeled
+    # samples so no image is dropped
     testloader = Loader(
-        test_dataset, n_dev, shuffle=False, drop_last=True, num_workers=cfg.WORKERS
+        test_dataset, n_dev, shuffle=False, drop_last=False, num_workers=cfg.WORKERS
     )
 
     loss_fn = FullLoss(

@@ -1,0 +1,65 @@
+"""Engine-level behavior on the virtual 8-device mesh."""
+
+import numpy as np
+
+import jax
+
+from pidnet_tpu.config import default_config
+from pidnet_tpu import engine
+from pidnet_tpu.losses import FullLoss
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.parallel import make_mesh
+from pidnet_tpu.train import TrainState, make_eval_step
+from pidnet_tpu.utils import TBWriter
+
+
+class _FakeLoader:
+    """Yields one full batch and one partial batch (like a non-divisible
+    val set)."""
+
+    batch_size = 8
+
+    def __init__(self, rng):
+        self.batches = []
+        for n in (8, 3):
+            img = rng.standard_normal((n, 64, 64, 3)).astype(np.float32)
+            lab = rng.integers(0, 19, (n, 64, 64)).astype(np.int32)
+            edge = (rng.random((n, 64, 64)) < 0.1).astype(np.float32)
+            self.batches.append((img, lab, edge, None, None))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_validate_pads_partial_batches(rng):
+    cfg = default_config()
+    cfg.TRAIN.IGNORE_LABEL = 255
+    cfg.freeze()
+    mesh = make_mesh(8)
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=100)
+    eval_step = make_eval_step(spec, loss_fn, mesh, num_classes=19)
+    ts = TrainState.create(params, state)
+    writer_dict = {"writer": TBWriter(""), "valid_global_steps": 0}
+
+    # direct check: a partial batch padded with ignore labels contributes
+    # exactly the real images' pixels to the confusion matrix
+    from pidnet_tpu.parallel import shard_batch
+
+    img = rng.standard_normal((3, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (3, 64, 64)).astype(np.int32)
+    edge = (rng.random((3, 64, 64)) < 0.1).astype(np.float32)
+    img_p = np.concatenate([img, np.repeat(img[-1:], 5, 0)])
+    lab_p = np.concatenate([lab, np.full((5, 64, 64), 255, lab.dtype)])
+    edge_p = np.concatenate([edge, np.zeros((5, 64, 64), edge.dtype)])
+    _, cms = eval_step(ts, *shard_batch(mesh, img_p, lab_p, edge_p))
+    assert int(np.asarray(cms)[0].sum()) == 3 * 64 * 64
+
+    loader = _FakeLoader(rng)
+    ave_loss, mean_iou, iou = engine.validate(
+        cfg, loader, eval_step, ts, mesh, writer_dict
+    )
+    assert 0.0 <= mean_iou <= 1.0
+    assert np.isfinite(ave_loss)
+    assert iou.shape == (19,)
