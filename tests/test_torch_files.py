@@ -1,0 +1,51 @@
+"""Loading real torch-serialized checkpoint files from disk, both reference
+layouts (.pth.tar with 'state_dict' key; .pt with 'model.' prefix)."""
+
+import numpy as np
+import torch
+
+import jax
+
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.tools.common import load_weights
+
+SPEC = M.spec_for("pidnet_s", 11, augment=True)
+
+
+def _torch_style_sd(params, state, prefix=""):
+    sd = {}
+    for k, v in {**params, **state}.items():
+        arr = np.asarray(v)
+        if arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        sd[prefix + k] = torch.from_numpy(arr.copy())
+    return sd
+
+
+def test_pth_tar_with_state_dict_key(tmp_path):
+    params, state = M.init(jax.random.PRNGKey(0), SPEC)
+    path = str(tmp_path / "imagenet.pth.tar")
+    torch.save({"state_dict": _torch_style_sd(params, state)}, path)
+    p0, s0 = M.init(jax.random.PRNGKey(9), SPEC)
+    p, s, n = load_weights(path, p0, s0)
+    assert n == len(params) + len(state)
+    np.testing.assert_allclose(
+        np.asarray(p["conv1.0.weight"]), np.asarray(params["conv1.0.weight"])
+    )
+
+
+def test_pt_with_model_prefix_and_shape_filter(tmp_path):
+    params, state = M.init(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_style_sd(params, state, prefix="model.")
+    # a shape-mismatched head (different num_classes) must be skipped, not fail
+    sd["model.final_layer.conv2.weight"] = torch.zeros(19, 128, 1, 1)
+    sd["model.final_layer.conv2.bias"] = torch.zeros(19)
+    path = str(tmp_path / "finetuned.pt")
+    torch.save(sd, path)
+    p0, s0 = M.init(jax.random.PRNGKey(9), SPEC)
+    p, s, n = load_weights(path, p0, s0)
+    assert n == len(params) + len(state) - 2  # tolerant strict=False merge
+    # the mismatched head keeps its fresh init
+    np.testing.assert_allclose(
+        np.asarray(p["final_layer.conv2.bias"]), np.asarray(p0["final_layer.conv2.bias"])
+    )
