@@ -96,21 +96,25 @@ def batch_norm_train(
     axis (sync BN). Without it, statistics are per-shard — exactly the
     reference's per-replica DataParallel BN (tools/train.py:136).
     """
-    xf = x.astype(jnp.float32)
     n = x.shape[0] * x.shape[1] * x.shape[2]
-    mean = jnp.mean(xf, axis=(0, 1, 2))
-    mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+    # statistics always reduce in fp32 (preferred accumulation); the
+    # normalization itself runs in the activation dtype so bf16 training
+    # never materializes fp32 activation-sized intermediates
+    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+    mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=(0, 1, 2))
     if axis_name is not None:
         mean = lax.pmean(mean, axis_name)
         mean_sq = lax.pmean(mean_sq, axis_name)
         n = n * lax.psum(1, axis_name)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    y = (xf - mean) * lax.rsqrt(var + BN_EPS) * gamma + beta
+    scale = lax.rsqrt(var + BN_EPS) * gamma
+    shift = beta - mean * scale
+    y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
     # torch stores the *unbiased* variance in running_var
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased
-    return y.astype(x.dtype), new_mean, new_var
+    return y, new_mean, new_var
 
 
 def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
