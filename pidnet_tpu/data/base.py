@@ -39,7 +39,8 @@ class SegDataset:
         self.crop_size = tuple(crop_size)
         self.scale_factor = scale_factor
         self.bd_dilate_size = bd_dilate_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.class_weights: np.ndarray | None = None
 
         self.is_test = "test" in list_path
@@ -79,6 +80,17 @@ class SegDataset:
     def __len__(self) -> int:
         return len(self.files)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream (the loader calls this per epoch
+        — the hook the reference's DDP-ready sampler anticipated,
+        tools/train.py:176-178)."""
+        self._epoch = epoch
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        # per-(seed, epoch, index) generator: deterministic regardless of
+        # worker-thread scheduling, and thread-safe (no shared stream)
+        return np.random.default_rng((self.seed, self._epoch, index))
+
     def __getitem__(self, index: int):
         item = self.files[index]
         image = self._load_image(item["img"])
@@ -89,7 +101,7 @@ class SegDataset:
 
         label = self._load_label(item["label"])
         image, label, edge = T.gen_sample(
-            self.rng,
+            self._sample_rng(index),
             image,
             label,
             multi_scale=self.multi_scale,

@@ -68,6 +68,8 @@ class Loader:
 
     def __iter__(self):
         self.epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -140,6 +140,33 @@ def test_loader_batching(city_dir):
     assert len(names) == 2
 
 
+def test_loader_determinism_across_threads(city_dir):
+    """Augmentations are per-(seed, epoch, index): identical across loader
+    instances and thread schedules, different across epochs."""
+
+    def batches(workers):
+        ds = Cityscapes(
+            root=city_dir, list_path="list/cityscapes/train.lst",
+            base_size=256, crop_size=(96, 192), seed=11,
+        )
+        loader = Loader(ds, batch_size=2, shuffle=True, drop_last=True,
+                        num_workers=workers, seed=11)
+        return [list(loader) for _ in range(2)]  # two epochs
+
+    a = batches(workers=1)
+    b = batches(workers=4)
+    for ep_a, ep_b in zip(a, b):
+        for (ia, la, ea, _, na), (ib, lb, eb, _, nb) in zip(ep_a, ep_b):
+            assert na == nb
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)
+            np.testing.assert_array_equal(ea, eb)
+    # epoch 1 vs epoch 2 must differ (different augmentation stream)
+    assert any(
+        not np.array_equal(x[0], y[0]) for x, y in zip(a[0], a[1])
+    )
+
+
 def test_camvid_color_mapping(tmp_path, rng):
     root = tmp_path / "data"
     (root / "camvid" / "img").mkdir(parents=True)
