@@ -48,7 +48,11 @@ def fold_params(params: dict, state: dict, spec) -> dict:
     # space-to-depth variants of the front of the network (stem + layer1 +
     # layer2.0's strided convs — identical math, MXU-friendly; consumed by
     # apply(..., stem_s2d=True), see models.pidnet._ApplyOps.stem_front)
-    from pidnet_tpu.ops.space_to_depth import s2d_conv_bias, s2d_conv_weight
+    from pidnet_tpu.ops.space_to_depth import (
+        s2d_conv_bias,
+        s2d_conv_weight,
+        s2d_stem_wide_weight,
+    )
 
     def s2d(name, in_block, stride):
         K, _ = s2d_conv_weight(folded[name + ".weight"], in_block, stride)
@@ -57,7 +61,10 @@ def fold_params(params: dict, state: dict, spec) -> dict:
             folded[name + ".bias"], in_block // stride
         )
 
-    s2d("conv1.0", 8, 2)
+    folded["s2d.conv1.0.wide_weight"] = jnp.asarray(
+        s2d_stem_wide_weight(folded["conv1.0.weight"])
+    )
+    folded["s2d.conv1.0.bias"] = s2d_conv_bias(folded["conv1.0.bias"], 4)
     s2d("conv1.3", 4, 2)
     for i in range(spec.m):
         s2d(f"layer1.{i}.conv1", 2, 1)

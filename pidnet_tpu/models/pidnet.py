@@ -96,8 +96,6 @@ class _ApplyOps:
         keeps >=128 channels so the MXU stays occupied and XLA stops
         inserting layout-conversion copies; layer2's stride-2 conv absorbs
         the final depth-to-space for free. Returns relu(layer2) at 1/8."""
-        from pidnet_tpu.ops.space_to_depth import space_to_depth
-
         cd = self.compute_dtype
         P10, P11, P00 = ((1, 0), (1, 0)), ((1, 1), (1, 1)), ((0, 0), (0, 0))
 
@@ -111,8 +109,20 @@ class _ApplyOps:
                 padding=pad,
             )
 
-        y = space_to_depth(x, 8)  # (N,H/8,W/8,192)
-        y = relu(cv("conv1.0", y, P10))  # s2d4 of conv1 out
+        # transpose-free first conv: the raw NHWC image viewed as
+        # (N,H,W/8,8*3) is a free reshape; a (9,2)-kernel stride-(8,1)
+        # conv emits the s2d4 layout directly (ops/space_to_depth.py)
+        n, h, w, c = x.shape
+        z = x.reshape(n, h, w // 8, 8 * c)
+        y = conv2d(
+            z,
+            self.params["s2d.conv1.0.wide_weight"],
+            self.params["s2d.conv1.0.bias"],
+            stride=(8, 1),
+            compute_dtype=cd,
+            padding=P10,
+        )
+        y = relu(y)  # s2d4 of conv1 out
         y = relu(cv("conv1.3", y, P10))  # s2d2 of stem out
         for i in range(spec.m):  # layer1 basic blocks, all in s2d2
             out = relu(cv(f"layer1.{i}.conv1", y, P11))

@@ -53,10 +53,11 @@ def conv2d(
         # which would break logit parity with the reference.
         precision = lax.Precision.HIGHEST
         preferred = jnp.float32
+    strides = (stride, stride) if isinstance(stride, int) else tuple(stride)
     y = lax.conv_general_dilated(
         x,
         w,
-        window_strides=(stride, stride),
+        window_strides=strides,
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,

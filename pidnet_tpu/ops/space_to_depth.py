@@ -96,3 +96,35 @@ def s2d_conv_weight(w, in_block: int, stride: int = 2):
 def s2d_conv_bias(b, out_block: int) -> jnp.ndarray:
     """Tile a per-channel bias over the s2d output blocks."""
     return jnp.asarray(np.tile(np.asarray(b, np.float32), out_block * out_block))
+
+
+def s2d_stem_wide_weight(w) -> np.ndarray:
+    """Transpose-free variant of the first stem conv.
+
+    The raw NHWC image (N,H,W,3) viewed as (N, H, W/8, 24) is a FREE
+    reshape (W-only space-to-depth). The original 3x3 stride-2 conv then
+    becomes a (9,2) kernel with strides (8,1) producing the s2d4-layout
+    output directly — the device-side s2d8 transpose (~0.6 ms at
+    2048x1024) disappears entirely.
+
+    Index map: output (p,q,(a4,b4,o)) is original out pixel
+    (4p+a4, 4q+b4); it needs raw rows 8p+dh with dh = 2*a4+di and raw
+    cols 8(q-1+Q)+b with b = 8(1-Q)+2*b4+dj, di/dj in [-1,1].
+    Returns (9, 2, 8*C, 16*O)."""
+    w = np.asarray(w, np.float32)
+    k, k2, c, o = w.shape
+    assert k == 3 and k2 == 3
+    K = np.zeros((9, 2, 8, c, 4, 4, o), np.float32)
+    for a4 in range(4):
+        for di in (-1, 0, 1):
+            kh = 2 * a4 + di + 1  # dh + 1 (pad top 1)
+            if not 0 <= kh <= 8:
+                continue
+            for Q in (0, 1):
+                for b4 in range(4):
+                    for dj in (-1, 0, 1):
+                        b = 8 * (1 - Q) + 2 * b4 + dj
+                        if not 0 <= b <= 7:
+                            continue
+                        K[kh, Q, b, :, a4, b4, :] = w[di + 1, dj + 1]
+    return K.reshape(9, 2, 8 * c, 16 * o)
