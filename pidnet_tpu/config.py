@@ -139,6 +139,10 @@ def default_config() -> ConfigNode:
                 # bf16 matmul/conv compute with fp32 params & accumulation
                 "BF16_INFERENCE": True,
                 "BF16_TRAIN": False,
+                # bf16 forward during the in-training validation pass
+                # (mIoU deltas are well under the 0.1 parity budget;
+                # offline eval via tools/eval.py stays fp32 by default)
+                "BF16_EVAL": False,
                 # cross-replica (sync) BatchNorm; False = per-shard like
                 # the reference's DataParallel (tools/train.py:136)
                 "SYNC_BN": False,

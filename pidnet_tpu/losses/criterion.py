@@ -17,16 +17,15 @@ Numerical parity targets (reference utils/criterion.py, utils/utils.py):
                           where sigmoid(boundary logit) > 0.8.
 
 The reference's OHEM sorts all valid pixels dynamically
-(criterion.py:72); here the kth-smallest threshold is found with a full
-`jnp.sort` over the flattened batch — static shapes, one XLA sort. Under
-the shard_map training step each data shard runs its own OHEM, exactly
-like per-GPU DataParallel replicas in the reference.
-
+(criterion.py:72); here the kth-smallest threshold is found exactly with
+a 32-step binary search over float bit patterns (`_kth_smallest`) —
+static shapes, no sort. Under the shard_map training step each data
+shard runs its own OHEM, exactly like per-GPU DataParallel replicas in
+the reference.
 """
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ per-GPU-batch x n-GPUs (tools/train.py:82,152).
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import timeit
 
@@ -145,7 +144,11 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
     )
     eval_step = make_eval_step(
-        spec, loss_fn, mesh, num_classes=cfg.DATASET.NUM_CLASSES
+        spec,
+        loss_fn,
+        mesh,
+        num_classes=cfg.DATASET.NUM_CLASSES,
+        compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
     )
 
     ts = TrainState.create(params, state)
