@@ -56,9 +56,9 @@ def fold_params(params: dict, state: dict, spec) -> dict:
 
     def s2d(name, in_block, stride):
         K, _ = s2d_conv_weight(folded[name + ".weight"], in_block, stride)
-        folded[f"s2d.{name}.weight"] = K
-        folded[f"s2d.{name}.bias"] = s2d_conv_bias(
-            folded[name + ".bias"], in_block // stride
+        folded[f"s2d.{name}.weight"] = jnp.asarray(K)
+        folded[f"s2d.{name}.bias"] = jnp.asarray(
+            s2d_conv_bias(folded[name + ".bias"], in_block // stride)
         )
 
     folded["s2d.conv1.0.wide_weight"] = jnp.asarray(

@@ -147,6 +147,68 @@ class _ApplyOps:
             )
         return relu(y)
 
+    def stem_front_live(self, x, spec):
+        """s2d front for the UNFOLDED path (training and eval-mode BN).
+
+        Conv kernels are rebuilt on the fly from the canonical 3x3/1x1
+        parameters (`w.reshape(-1)[idx] * mask`), so gradients flow back to
+        the original weights and checkpoints are byte-compatible with the
+        normal path; BatchNorm statistics reduce per original channel over
+        the s2d blocks (nn.functional.batch_norm_grouped) — identical math
+        to the normal layout, ~2x fewer layout copies at train time."""
+        from pidnet_tpu.nn.functional import batch_norm_grouped
+
+        specs = _live_s2d_specs(spec.m, spec.planes)
+        cd = self.compute_dtype
+
+        def cv(name, z, bias=False):
+            idx, mask, stride, pad, _ = specs[name]
+            w = self.params[name + ".weight"]
+            K = jnp.take(w.reshape(-1), jnp.asarray(idx)) * jnp.asarray(mask)
+            b = None
+            if bias:
+                b0 = self.params[name + ".bias"]
+                b = jnp.tile(b0, K.shape[-1] // b0.shape[0])
+            return conv2d(z, K, b, stride=stride, compute_dtype=cd, padding=pad)
+
+        def bn(name, z, groups):
+            y, nm, nv = batch_norm_grouped(
+                z,
+                self.params[name + ".weight"],
+                self.params[name + ".bias"],
+                self.state[name + ".running_mean"],
+                self.state[name + ".running_var"],
+                groups=groups,
+                train=self.train,
+                axis_name=self.sync_axis,
+            )
+            if self.train:
+                self.new_state[name + ".running_mean"] = nm
+                self.new_state[name + ".running_var"] = nv
+            return y
+
+        n, h, w, c = x.shape
+        z = x.reshape(n, h, w // 8, 8 * c)  # free view (W-only s2d)
+        y = relu(bn("conv1.1", cv("conv1.0", z, bias=True), 16))
+        y = relu(bn("conv1.4", cv("conv1.3", y, bias=True), 4))
+        for i in range(spec.m):  # layer1 basic blocks, all in s2d2
+            out = relu(bn(f"layer1.{i}.bn1", cv(f"layer1.{i}.conv1", y), 4))
+            out = bn(f"layer1.{i}.bn2", cv(f"layer1.{i}.conv2", out), 4)
+            y = out + y
+            if i < spec.m - 1:
+                y = relu(y)
+        y = relu(y)
+        # layer2 block 0: stride-2 convs return to normal layout
+        out = relu(self.bn("layer2.0.bn1", cv("layer2.0.conv1", y)))
+        out = self.convbn("layer2.0.conv2", "layer2.0.bn2", out, spec.planes * 2, 3)
+        y = out + self.bn("layer2.0.downsample.1", cv("layer2.0.downsample.0", y))
+        y = relu(y)
+        for i in range(1, spec.m):
+            y = _basic_block(
+                self, f"layer2.{i}", y, spec.planes * 2, 1, no_relu=(i == spec.m - 1)
+            )
+        return relu(y)
+
     def conv(self, name, x, cout, k, stride=1, groups=1, bias=False):
         w = self.params[name + ".weight"]
         b = self.params.get(name + ".bias") if (bias or self.folded) else None
@@ -175,6 +237,46 @@ class _ApplyOps:
         if self.folded:
             return self.conv(conv_name, x, cout, k, stride, groups)
         return self.bn(bn_name, self.conv(conv_name, x, cout, k, stride, groups, bias))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _live_s2d_specs(m: int, planes: int):
+    """Static (idx, mask, stride, padding, bn_groups) per front conv for the
+    live (unfolded) s2d path; see ops/space_to_depth.py."""
+    from pidnet_tpu.ops.space_to_depth import (
+        s2d_conv_weight,
+        s2d_expander,
+        s2d_stem_wide_weight,
+    )
+
+    P10, P11, P00 = ((1, 0), (1, 0)), ((1, 1), (1, 1)), ((0, 0), (0, 0))
+    specs = {}
+    specs["conv1.0"] = (
+        *s2d_expander(s2d_stem_wide_weight, (3, 3, 3, planes)),
+        (8, 1), P10, 16,
+    )
+    specs["conv1.3"] = (
+        *s2d_expander(s2d_conv_weight, (3, 3, planes, planes), 4, 2),
+        1, P10, 4,
+    )
+    for i in range(m):
+        for cname in ("conv1", "conv2"):
+            specs[f"layer1.{i}.{cname}"] = (
+                *s2d_expander(s2d_conv_weight, (3, 3, planes, planes), 2, 1),
+                1, P11, 4,
+            )
+    specs["layer2.0.conv1"] = (
+        *s2d_expander(s2d_conv_weight, (3, 3, planes, planes * 2), 2, 2),
+        1, P10, 1,
+    )
+    specs["layer2.0.downsample.0"] = (
+        *s2d_expander(s2d_conv_weight, (1, 1, planes, planes * 2), 2, 2),
+        1, P00, 1,
+    )
+    return specs
 
 
 class _TraceOps:
@@ -407,8 +509,9 @@ def _forward(ops, x, spec: PIDNetSpec):
     h8, w8 = x.shape[1] // 8, x.shape[2] // 8
 
     if getattr(ops, "stem_s2d", False):
-        # folded speed path: stem+layer1+layer2 in space-to-depth space
-        x = ops.stem_front(x, spec)
+        # stem+layer1+layer2 in space-to-depth space (folded: prebuilt
+        # kernels; unfolded: kernels derived live from canonical params)
+        x = ops.stem_front(x, spec) if ops.folded else ops.stem_front_live(x, spec)
     else:
         # stem: /4 (reference pidnet.py:24-31; these two convs keep the
         # torch default bias=True — the only biased convs outside heads)
@@ -538,12 +641,12 @@ def apply(
     `folded=True` expects parameters produced by `convert.fold.fold_params`
     (inference-only; replaces each conv+BN with a biased conv — the
     automated equivalent of the reference's hand-edited BN-free speed
-    models, models/speed/pidnet_speed.py:37-40). `stem_s2d=True` (folded
-    only) additionally runs the first stem conv as a space-to-depth 2x2
-    conv — identical math, much better MXU occupancy at full resolution.
+    models, models/speed/pidnet_speed.py:37-40). `stem_s2d=True` runs the
+    network front (stem+layer1+layer2) in space-to-depth layout — identical
+    math, much better MXU occupancy. With folded params the s2d kernels are
+    prebuilt; otherwise they are derived live from the canonical weights
+    (differentiable, checkpoint-compatible, grouped-BN statistics).
     """
-    if stem_s2d and not folded:
-        raise ValueError("stem_s2d requires folded params")
     ops = _ApplyOps(
         params,
         state,

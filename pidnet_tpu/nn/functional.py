@@ -118,6 +118,52 @@ def batch_norm_train(
     return y, new_mean, new_var
 
 
+def batch_norm_grouped(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    *,
+    groups: int,
+    train: bool,
+    momentum: float = BN_MOMENTUM,
+    axis_name: str | None = None,
+):
+    """BatchNorm over an s2d-layout tensor whose channels are
+    (block_a, block_b, o) = groups x O, with parameters/stats per original
+    channel o. Statistics reduce over (N,H,W,blocks) — numerically the
+    SAME statistics the normal-layout BN computes, so running stats and
+    checkpoints are interchangeable with the standard path.
+
+    Returns (y, new_running_mean, new_running_var) (running stats pass
+    through unchanged when train=False)."""
+    nb, hb, wb, c = x.shape
+    o = c // groups
+    xr = x.reshape(nb, hb, wb, groups, o)
+    if train:
+        n = nb * hb * wb * groups
+        mean = jnp.mean(xr, axis=(0, 1, 2, 3), dtype=jnp.float32)
+        mean_sq = jnp.mean(lax.square(xr.astype(jnp.float32)), axis=(0, 1, 2, 3))
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            mean_sq = lax.pmean(mean_sq, axis_name)
+            n = n * lax.psum(1, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1.0 - momentum) * running_mean + momentum * mean
+        new_var = (1.0 - momentum) * running_var + momentum * unbiased
+    else:
+        mean, var = running_mean, running_var
+        new_mean, new_var = running_mean, running_var
+    scale = lax.rsqrt(var + BN_EPS) * gamma
+    shift = beta - mean * scale
+    y = x * jnp.tile(scale, groups).astype(x.dtype) + jnp.tile(shift, groups).astype(
+        x.dtype
+    )
+    return y, new_mean, new_var
+
+
 def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """AvgPool2d with count_include_pad=True (torch default used by D/PAPPM,
     reference models/model_utils.py:118-132)."""

@@ -90,12 +90,30 @@ def s2d_conv_weight(w, in_block: int, stride: int = 2):
                             K[P, Q, aI, bI, :, aO, bO, :] = w[di - lo, dj - lo]
     K = K.reshape(T, T, in_block * in_block * c, out_block * out_block * o)
     pad = (-t_lo, T - 1 + t_lo)  # top = -t_lo, top+bottom = T-1
-    return jnp.asarray(K), (pad, pad)
+    return K, (pad, pad)
 
 
-def s2d_conv_bias(b, out_block: int) -> jnp.ndarray:
+def s2d_conv_bias(b, out_block: int) -> np.ndarray:
     """Tile a per-channel bias over the s2d output blocks."""
-    return jnp.asarray(np.tile(np.asarray(b, np.float32), out_block * out_block))
+    return np.tile(np.asarray(b, np.float32), out_block * out_block)
+
+
+def s2d_expander(builder, w_shape, *args) -> tuple[np.ndarray, np.ndarray]:
+    """Derive (idx, mask) such that `w.reshape(-1)[idx] * mask` rebuilds the
+    s2d-re-indexed kernel DIFFERENTIABLY inside a traced train step (the
+    cotangent scatter-adds back onto the canonical 3x3/1x1 weights).
+
+    Works for any of the numpy kernel builders in this module by probing
+    them with 1-based element indices instead of weights (exact in fp32 up
+    to 2^24 elements, far above any kernel here)."""
+    probe = (np.arange(np.prod(w_shape), dtype=np.float32) + 1).reshape(w_shape)
+    K = builder(probe, *args)
+    if isinstance(K, tuple):  # s2d_conv_weight returns (K, padding)
+        K = K[0]
+    K = np.asarray(K, np.float64)
+    idx = (np.maximum(K, 1) - 1).astype(np.int32)
+    mask = (K > 0).astype(np.float32)
+    return idx, mask
 
 
 def s2d_stem_wide_weight(w) -> np.ndarray:

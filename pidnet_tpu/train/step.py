@@ -65,11 +65,14 @@ def make_train_step(
     nesterov: bool = False,
     sync_bn: bool = False,
     compute_dtype=None,
+    stem_s2d: bool = True,
 ):
     """Build the jitted DP train step.
 
     step(ts: TrainState, images, labels, edges, lr) -> (ts, metrics)
     images NHWC f32 (sharded on dim 0), labels int32, edges f32.
+    `stem_s2d` runs the network front in space-to-depth layout (identical
+    math and checkpoints, ~MXU-friendlier; models.pidnet.stem_front_live).
     """
 
     n_shards = mesh.shape[DATA_AXIS]
@@ -84,6 +87,7 @@ def make_train_step(
                 train=True,
                 sync_bn_axis=DATA_AXIS if sync_bn else None,
                 compute_dtype=compute_dtype,
+                stem_s2d=stem_s2d,
             )
             loss, metrics = loss_fn(outputs, labels, edges)
             # Differentiating w.r.t. a REPLICATED input inside shard_map
@@ -119,7 +123,9 @@ def make_train_step(
     return step
 
 
-def make_eval_step(spec, loss_fn, mesh, *, num_classes: int, compute_dtype=None):
+def make_eval_step(
+    spec, loss_fn, mesh, *, num_classes: int, compute_dtype=None, stem_s2d: bool = True
+):
     """Validation step: per-shard forward (eval-mode BN) + loss + on-device
     confusion matrices, psum'd across shards.
 
@@ -132,7 +138,8 @@ def make_eval_step(spec, loss_fn, mesh, *, num_classes: int, compute_dtype=None)
 
     def shard_eval(params, state, images, labels, edges):
         outputs = M.apply(
-            params, state, images, spec, train=False, compute_dtype=compute_dtype
+            params, state, images, spec, train=False, compute_dtype=compute_dtype,
+            stem_s2d=stem_s2d,
         )
         loss, metrics = loss_fn(outputs, labels, edges)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)

@@ -88,6 +88,36 @@ def test_dp_matches_single_device(setup, rng):
         )
 
 
+def test_s2d_front_matches_normal_train(setup, rng):
+    """The live space-to-depth front (derived kernels + grouped BN) is the
+    same training computation as the normal layout."""
+    mesh, params, state, loss_fn = setup
+    img, lab, edge = _batch(rng, n=8)
+    out = {}
+    for s2d in (False, True):
+        step = make_train_step(SPEC, loss_fn, mesh, stem_s2d=s2d)
+        ts = TrainState.create(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state)
+        )
+        ts, m = step(ts, *shard_batch(mesh, img, lab, edge), 0.01)
+        out[s2d] = (float(m["loss"]), ts)
+    assert abs(out[True][0] - out[False][0]) < 1e-4 * abs(out[False][0])
+    # compare the UPDATE vectors by norm: tiny logit noise flips pixels at
+    # the discrete OHEM threshold, so per-element equality is not expected,
+    # but the updates must be the same direction/magnitude
+    for k in ("layer1.0.conv1.weight", "conv1.0.weight", "layer3.0.conv1.weight"):
+        d_true = np.asarray(out[True][1].params[k]) - np.asarray(params[k])
+        d_false = np.asarray(out[False][1].params[k]) - np.asarray(params[k])
+        rel = np.linalg.norm(d_true - d_false) / (np.linalg.norm(d_false) + 1e-12)
+        assert rel < 0.05, (k, rel)
+    for k in ("conv1.1.running_mean", "layer1.0.bn1.running_var"):
+        np.testing.assert_allclose(
+            np.asarray(out[True][1].state[k]),
+            np.asarray(out[False][1].state[k]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
 def test_sgd_matches_torch(rng):
     """SGD(momentum, wd) update parity vs torch.optim.SGD."""
     import torch
