@@ -73,22 +73,61 @@ class Loader:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that aborts when the consumer abandons iteration:
+            # a plain out.put() would block forever on a full queue after
+            # the consumer breaks, leaking this thread and its pool.
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx_batch in self._batches():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idx_batch))
-                    out.put(self._collate(samples))
-            out.put(None)
+            # Worker/collate exceptions are shipped through the queue and
+            # re-raised in the consuming thread (torch DataLoader
+            # semantics, reference tools/train.py:96-102) — never swallowed
+            # into a silent hang.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx_batch in self._batches():
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, idx_batch)
+                        )
+                        if not put(self._collate(samples)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                put(_WorkerError(e))
 
         t = threading.Thread(target=produce, daemon=True)
+        self._producer = t  # exposed for tests
         t.start()
         try:
             while True:
                 batch = out.get()
                 if batch is None:
                     break
+                if isinstance(batch, _WorkerError):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()
+            # Drain so a producer blocked mid-put observes stop promptly.
+            try:
+                while True:
+                    out.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
+
+
+class _WorkerError:
+    """Queue envelope carrying a producer-side exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

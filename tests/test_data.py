@@ -167,6 +167,68 @@ def test_loader_determinism_across_threads(city_dir):
     )
 
 
+class _TinyDataset:
+    """Minimal in-memory dataset for loader failure-semantics tests."""
+
+    def __init__(self, n=8, raise_at=None, sleep_at=None):
+        self.n = n
+        self.raise_at = raise_at
+        self.sleep_at = sleep_at
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.raise_at is not None and i == self.raise_at:
+            raise ValueError(f"corrupt sample {i}")
+        if self.sleep_at is not None and i == self.sleep_at:
+            import time
+
+            time.sleep(0.05)
+        img = np.full((4, 4, 3), i, np.float32)
+        lab = np.full((4, 4), i, np.uint8)
+        edge = np.zeros((4, 4), np.float32)
+        return img, lab, edge, np.array([4, 4]), str(i)
+
+
+def test_loader_propagates_worker_exception():
+    """A raising __getitem__ fails the epoch loudly instead of hanging
+    (torch DataLoader semantics, reference tools/train.py:96-102)."""
+    loader = Loader(_TinyDataset(raise_at=5), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample 5"):
+        for _ in loader:
+            pass
+
+
+def test_loader_first_batch_exception():
+    loader = Loader(_TinyDataset(raise_at=0), batch_size=2, num_workers=1)
+    with pytest.raises(ValueError, match="corrupt sample 0"):
+        next(iter(loader))
+
+
+def test_loader_early_break_stops_producer():
+    """Abandoning iteration must not leak the producer thread (it would
+    otherwise block forever on a full prefetch queue)."""
+    loader = Loader(_TinyDataset(n=64), batch_size=2, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # trigger the generator's finally (as `break` does via GC)
+    loader._producer.join(timeout=10.0)
+    assert not loader._producer.is_alive()
+
+
+def test_loader_completes_after_failure_run():
+    """The loader object stays reusable after a failed epoch."""
+    ds = _TinyDataset(n=6)
+    loader = Loader(ds, batch_size=2, num_workers=2)
+    ds.raise_at = 3
+    with pytest.raises(ValueError):
+        list(loader)
+    ds.raise_at = None
+    batches = list(loader)
+    assert len(batches) == 3
+
+
 def test_camvid_color_mapping(tmp_path, rng):
     root = tmp_path / "data"
     (root / "camvid" / "img").mkdir(parents=True)
