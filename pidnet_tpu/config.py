@@ -136,7 +136,8 @@ def default_config() -> ConfigNode:
             "SEED": 304,
             "CUDNN": {"BENCHMARK": True, "DETERMINISTIC": False, "ENABLED": True},
             "XLA": {
-                # bf16 matmul/conv compute with fp32 params & accumulation
+                # bf16 matmul/conv compute (fp32 params & accumulation) for
+                # the folded speed path: tools/eval.py --fold-bn
                 "BF16_INFERENCE": True,
                 "BF16_TRAIN": False,
                 # bf16 forward during the in-training validation pass

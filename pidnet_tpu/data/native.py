@@ -1,19 +1,46 @@
 """ctypes bindings for the native host-pipeline kernels (native/).
 
-Falls back to numpy transparently when the shared library hasn't been
-built (`make -C native`). All entry points match the numpy semantics used
-in transforms.py / cityscapes.py exactly (tested in tests/test_native.py).
+The .so is NOT checked in (platform-specific binaries are unreviewable):
+it is built on first import via `make -C native` when a toolchain is
+available, and every entry point falls back to numpy transparently when
+it isn't. All entry points match the numpy semantics used in
+transforms.py / cityscapes.py exactly (tested in tests/test_native.py).
+Set PIDNET_NO_NATIVE_BUILD=1 to skip the build attempt.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libpidnet_host.so")
+_NATIVE_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), os.pardir, os.pardir, "native")
+)
+
+
+def _try_build() -> None:
+    if os.environ.get("PIDNET_NO_NATIVE_BUILD"):
+        return
+    if not os.path.isfile(os.path.join(_NATIVE_DIR, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 _lib = None
+if not os.path.isfile(_LIB_PATH):
+    _try_build()
 if os.path.isfile(_LIB_PATH):
     try:
         _lib = ctypes.CDLL(_LIB_PATH)
@@ -55,6 +82,23 @@ def normalize_u8_f32(
     if bgr_to_rgb:
         x = x[:, :, ::-1]
     return ((x / 255.0 - mean) / std).astype(np.float32)
+
+
+def hflip_f32(image: np.ndarray) -> np.ndarray:
+    """One-pass horizontal flip of an HWC (or HW) f32 array.
+
+    Replaces `np.ascontiguousarray(image[:, ::-1])` in the flip branch of
+    the train pipeline (reference base_dataset.py:127-131): numpy's strided
+    reverse + contiguous copy is two passes; this is one."""
+    assert image.dtype == np.float32 and image.ndim in (2, 3)
+    image = np.ascontiguousarray(image)
+    if _lib is not None:
+        h, w = image.shape[:2]
+        c = image.shape[2] if image.ndim == 3 else 1
+        out = np.empty(image.shape, np.float32)
+        _lib.hflip_f32(image.ctypes.data, out.ctypes.data, h, w, c)
+        return out
+    return np.ascontiguousarray(image[:, ::-1])
 
 
 def lut_remap_u8(label: np.ndarray, lut: np.ndarray) -> np.ndarray:

@@ -139,10 +139,11 @@ def gen_sample(
     image = input_transform(image, bgr_to_rgb=bgr_to_rgb)
     label = np.array(label).astype(np.uint8)
 
-    if is_flip:
-        flip = int(rng.integers(0, 2)) * 2 - 1
-        image = image[:, ::flip]
-        label = label[:, ::flip]
-        edge = edge[:, ::flip]
+    if is_flip and int(rng.integers(0, 2)) == 0:  # same draw as `*2-1 == -1`
+        from pidnet_tpu.data import native
+
+        image = native.hflip_f32(image)
+        label = label[:, ::-1]
+        edge = native.hflip_f32(edge)
 
     return np.ascontiguousarray(image), np.ascontiguousarray(label), np.ascontiguousarray(edge)

@@ -49,9 +49,15 @@ def train_one_epoch(
 
     prev_metrics = None
     for i_iter, (images, labels, edges, _, _) in enumerate(loader):
-        lr = poly_lr(base_lr, num_iters, i_iter + cur_iters)
+        # Exact reference schedule: adjust_learning_rate runs AFTER
+        # optimizer.step() (utils/function.py:49,61-64), so the update at
+        # global iter g is applied with poly(g-1) — poly(0)=base_lr covers
+        # the very first step — while the log line prints poly(g).
+        g = i_iter + cur_iters
+        lr = poly_lr(base_lr, num_iters, max(0, g - 1))
         batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
         ts, metrics = step_fn(ts, *batch, lr)
+        lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 
         # pull the PREVIOUS step's scalars: keeps one step in flight so the
         # host-side data pipeline overlaps device compute
@@ -107,21 +113,24 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
     batch_size = loader.batch_size
 
     for idx, (images, labels, edges, _, _) in enumerate(loader):
-        if images.shape[0] < batch_size:
+        n_real = images.shape[0]
+        if n_real < batch_size:
             # pad the final partial batch so it still shards over the mesh;
-            # padded samples carry all-ignore labels, so they contribute
-            # nothing to the confusion matrices (loss meter only is skewed
-            # by the padding — matching drop-nothing semantics for mIoU)
-            pad = batch_size - images.shape[0]
+            # the sample mask makes padded samples inert in the loss and
+            # the confusion matrices (FullLoss/make_eval_step docstrings)
+            pad = batch_size - n_real
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
             labels = np.concatenate(
                 [labels, np.full((pad, *labels.shape[1:]), cfg.TRAIN.IGNORE_LABEL, labels.dtype)]
             )
             edges = np.concatenate([edges, np.zeros((pad, *edges.shape[1:]), edges.dtype)])
-        batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
+        mask = (np.arange(batch_size) < n_real).astype(np.float32)
+        batch = shard_batch(mesh, images, labels.astype(np.int32), edges, mask)
         metrics, batch_cms = eval_step(ts, *batch)
         cms += np.asarray(batch_cms, np.float64)
-        ave_loss.update(float(metrics["loss"]))
+        # weight by real-sample count so the padded final batch doesn't
+        # skew the epoch average
+        ave_loss.update(float(metrics["loss"]), n_real)
         if idx % 10 == 0:
             log.info("validating: %d", idx)
 
@@ -153,7 +162,14 @@ def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None
             if cfg.MODEL.NUM_OUTPUTS > 1:
                 out = out[cfg.TEST.OUTPUT_INDEX]
             else:
-                out = out[-1]
+                # NUM_OUTPUTS==1 with a multi-output (augment=True) model is
+                # a misconfiguration; the reference errors here rather than
+                # silently argmax-ing the 1-channel boundary head
+                # (base_dataset.py:140-141)
+                raise ValueError(
+                    "model returned multiple outputs but MODEL.NUM_OUTPUTS==1; "
+                    "set MODEL.NUM_OUTPUTS and TEST.OUTPUT_INDEX consistently"
+                )
         pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
         return jnp.exp(pred.astype(jnp.float32))
 

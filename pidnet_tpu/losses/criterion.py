@@ -83,7 +83,12 @@ def _per_pixel_ce(logits, labels, class_weights, ignore_label):
 
 
 def cross_entropy(
-    logits, labels, class_weights=None, ignore_label=-1, divide_by: str = "weights"
+    logits,
+    labels,
+    class_weights=None,
+    ignore_label=-1,
+    divide_by: str = "weights",
+    numel=None,
 ):
     """Mean-reduced weighted CE.
 
@@ -94,12 +99,14 @@ def cross_entropy(
     reduction='none' (criterion.py:50-61), so the aux CE stays a per-pixel
     map that is finally `.mean()`-ed over all pixels in the train loop
     (utils/function.py:44), ignored pixels contributing 0 to the numerator
-    but 1 to the denominator.
+    but 1 to the denominator. `numel` overrides that denominator — used by
+    the padded validation path to count only real samples' pixels.
     """
     nll, w, _ = _per_pixel_ce(logits, labels, class_weights, ignore_label)
     wl = nll * w
     if divide_by == "numel":
-        return jnp.sum(wl) / wl.size
+        denom = wl.size if numel is None else jnp.maximum(numel, 1)
+        return jnp.sum(wl) / denom
     return jnp.sum(wl) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
@@ -133,12 +140,13 @@ def ohem_cross_entropy(
     return jnp.sum(kept_losses) / jnp.maximum(jnp.sum(keep), 1)
 
 
-def weighted_bce(bd_logits, targets):
+def weighted_bce(bd_logits, targets, numel=None):
     """Class-balanced BCE-with-logits on the 1-channel boundary logits.
 
     bd_logits: (N,H,W,1) or (N,H,W); targets: (N,H,W) float/int in {0,1}
     (other values get weight 0). Mean over all pixels, matching
-    reference criterion.py:117 (reduction='mean' with explicit weights).
+    reference criterion.py:117 (reduction='mean' with explicit weights);
+    `numel` overrides the denominator when the batch carries padding.
     """
     logits = bd_logits.reshape(-1).astype(jnp.float32)
     t = targets.reshape(-1).astype(jnp.float32)
@@ -150,7 +158,8 @@ def weighted_bce(bd_logits, targets):
     weight = jnp.where(pos, neg_num / total, jnp.where(neg, pos_num / total, 0.0))
     # stable BCE-with-logits: max(x,0) - x*t + log1p(exp(-|x|))
     bce = jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.mean(weight * bce)
+    denom = logits.size if numel is None else jnp.maximum(numel, 1)
+    return jnp.sum(weight * bce) / denom
 
 
 def boundary_loss(bd_logits, targets, coeff_bce: float = 20.0):
@@ -192,7 +201,7 @@ class FullLoss:
         self.bd_coeff = bd_coeff
         assert num_outputs == len(self.balance_weights)
 
-    def _single(self, logits, labels, use_ohem):
+    def _single(self, logits, labels, use_ohem, numel=None):
         if use_ohem:
             return ohem_cross_entropy(
                 logits,
@@ -207,19 +216,26 @@ class FullLoss:
         # criterion uses torch's weighted mean.
         divide_by = "numel" if self.use_ohem else "weights"
         return cross_entropy(
-            logits, labels, self.class_weights, self.ignore_label, divide_by
+            logits, labels, self.class_weights, self.ignore_label, divide_by, numel
         )
 
-    def sem_loss(self, scores: list, labels):
+    def sem_loss(self, scores: list, labels, numel=None):
         """Balance-weighted multi-output semantic loss: plain CE on all but
         the last head, OHEM on the last (reference criterion.py:87-93)."""
         losses = []
         for i, (w, s) in enumerate(zip(self.balance_weights, scores)):
             is_last = i == len(scores) - 1
-            losses.append(w * self._single(s, labels, self.use_ohem and is_last))
+            losses.append(
+                w * self._single(s, labels, self.use_ohem and is_last, numel)
+            )
         return sum(losses)
 
-    def __call__(self, outputs: list, labels, bd_gt):
+    def __call__(self, outputs: list, labels, bd_gt, sample_mask=None):
+        """`sample_mask` (N,) in {0,1} marks real vs padding samples; padded
+        samples are made inert in every term (ignore-labeled for CE/OHEM,
+        weight-0 in the BCE, excluded from acc and the numel denominator),
+        so the loss over a padded batch equals the loss the reference
+        computes over the unpadded batch (utils/function.py:94-106)."""
         from pidnet_tpu.ops.resize import resize_bilinear
 
         h, w = labels.shape[1], labels.shape[2]
@@ -232,16 +248,28 @@ class FullLoss:
         seg_final = outputs[-2]
         bd_head = outputs[-1]
 
+        numel = None
+        sample_valid = None
+        if sample_mask is not None:
+            sample_valid = sample_mask.reshape(-1, 1, 1) > 0
+            labels = jnp.where(sample_valid, labels, self.ignore_label)
+            # -1 is outside {0,1}: weight 0 in weighted_bce AND excluded
+            # from its pos/neg balance counts
+            bd_gt = jnp.where(sample_valid, bd_gt, -1.0)
+            numel = jnp.sum(sample_mask.astype(jnp.float32)) * (h * w)
+
         # pixel accuracy of the final head. NOTE: the reference counts
         # every label >= 0 as valid (utils/utils.py:31), so with
         # IGNORE_LABEL=255 the ignored pixels count against accuracy.
-        # Faithfully reproduced.
+        # Faithfully reproduced (padding samples excluded when masked).
         preds = jnp.argmax(seg_final, axis=-1)
         valid = labels >= 0
+        if sample_valid is not None:
+            valid = valid & sample_valid
         acc = jnp.sum(valid & (preds == labels)) / (jnp.sum(valid) + 1e-10)
 
-        loss_s = self.sem_loss(outputs[:-1], labels)
-        loss_b = self.bd_coeff * weighted_bce(bd_head, bd_gt)
+        loss_s = self.sem_loss(outputs[:-1], labels, numel)
+        loss_b = self.bd_coeff * weighted_bce(bd_head, bd_gt, numel)
 
         # boundary-aware CE: only pixels the boundary head is confident
         # about keep their label (utils/utils.py:52-54)

@@ -32,7 +32,8 @@ def parse_args(argv=None):
     parser.add_argument(
         "--fold-bn",
         action="store_true",
-        help="fold BatchNorm into convs and run in bf16 (speed path)",
+        help="fold BatchNorm into convs (speed path); compute dtype is then "
+        "governed by XLA.BF16_INFERENCE (bf16 by default)",
     )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return parser.parse_args(argv)
@@ -80,7 +81,9 @@ def main(argv=None):
         params,
         state,
         folded=args.fold_bn,
-        compute_dtype=jnp.bfloat16 if args.fold_bn else None,
+        compute_dtype=(
+            jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
+        ),
     )
 
     if "test" in cfg.DATASET.TEST_SET and "city" in cfg.DATASET.DATASET:

@@ -129,20 +129,35 @@ def make_eval_step(
     """Validation step: per-shard forward (eval-mode BN) + loss + on-device
     confusion matrices, psum'd across shards.
 
-    Returns (metrics, cms) where cms has shape (num_seg_outputs, C, C) —
-    the device-side equivalent of reference utils/function.py:77-128, which
-    accumulated CPU numpy confusion matrices per output.
+    step(ts, images, labels, edges, sample_mask) -> (metrics, cms).
+    `sample_mask` (N,) f32 in {0,1} marks real vs padding samples in the
+    final partial batch (engine.validate pads it up to the global batch so
+    it still shards): padded samples are inert in the loss (FullLoss masks
+    them) and cross-shard metrics are averaged weighted by each shard's
+    real-sample count, so the reported scalars equal an unpadded run's.
+    cms has shape (num_seg_outputs, C, C) — the device-side equivalent of
+    reference utils/function.py:77-128, which accumulated CPU numpy
+    confusion matrices per output.
     """
     from pidnet_tpu.metrics import confusion_matrix
     from pidnet_tpu.ops.resize import resize_bilinear
 
-    def shard_eval(params, state, images, labels, edges):
+    def shard_eval(params, state, images, labels, edges, sample_mask):
         outputs = M.apply(
             params, state, images, spec, train=False, compute_dtype=compute_dtype,
             stem_s2d=stem_s2d,
         )
-        loss, metrics = loss_fn(outputs, labels, edges)
-        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        loss, metrics = loss_fn(outputs, labels, edges, sample_mask=sample_mask)
+        shard_w = jnp.sum(sample_mask.astype(jnp.float32))
+        total_w = jax.lax.psum(shard_w, DATA_AXIS)
+        metrics = {
+            k: jax.lax.psum(v * shard_w, DATA_AXIS) / jnp.maximum(total_w, 1.0)
+            for k, v in metrics.items()
+        }
+        # padding defense for the CMs: masked samples are all-ignore
+        labels = jnp.where(
+            sample_mask.reshape(-1, 1, 1) > 0, labels, loss_fn.ignore_label
+        )
         h, w = labels.shape[1], labels.shape[2]
         cms = []
         for o in outputs[:-1]:
@@ -154,12 +169,12 @@ def make_eval_step(
     sharded = jax.shard_map(
         shard_eval,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
     )
 
     @jax.jit
-    def step(ts: TrainState, images, labels, edges):
-        return sharded(ts.params, ts.state, images, labels, edges)
+    def step(ts: TrainState, images, labels, edges, sample_mask):
+        return sharded(ts.params, ts.state, images, labels, edges, sample_mask)
 
     return step

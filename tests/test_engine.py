@@ -43,8 +43,9 @@ def test_validate_pads_partial_batches(rng):
     ts = TrainState.create(params, state)
     writer_dict = {"writer": TBWriter(""), "valid_global_steps": 0}
 
-    # direct check: a partial batch padded with ignore labels contributes
-    # exactly the real images' pixels to the confusion matrix
+    # direct check: a partial batch padded up to 8 contributes exactly the
+    # real images' pixels to the confusion matrix, and its metrics equal an
+    # UNPADDED run with the same one-sample-per-shard layout (3-dev mesh)
     from pidnet_tpu.parallel import shard_batch
 
     img = rng.standard_normal((3, 64, 64, 3)).astype(np.float32)
@@ -53,8 +54,21 @@ def test_validate_pads_partial_batches(rng):
     img_p = np.concatenate([img, np.repeat(img[-1:], 5, 0)])
     lab_p = np.concatenate([lab, np.full((5, 64, 64), 255, lab.dtype)])
     edge_p = np.concatenate([edge, np.zeros((5, 64, 64), edge.dtype)])
-    _, cms = eval_step(ts, *shard_batch(mesh, img_p, lab_p, edge_p))
+    mask_p = (np.arange(8) < 3).astype(np.float32)
+    metrics_p, cms = eval_step(ts, *shard_batch(mesh, img_p, lab_p, edge_p, mask_p))
     assert int(np.asarray(cms)[0].sum()) == 3 * 64 * 64
+
+    mesh3 = make_mesh(3)
+    eval_step3 = make_eval_step(spec, loss_fn, mesh3, num_classes=19)
+    metrics_u, cms_u = eval_step3(
+        ts, *shard_batch(mesh3, img, lab, edge, np.ones(3, np.float32))
+    )
+    for k in metrics_u:
+        np.testing.assert_allclose(
+            float(metrics_p[k]), float(metrics_u[k]), rtol=1e-5,
+            err_msg=f"padded metric {k} != unpadded",
+        )
+    np.testing.assert_allclose(np.asarray(cms), np.asarray(cms_u), atol=1e-3)
 
     loader = _FakeLoader(rng)
     ave_loss, mean_iou, iou = engine.validate(

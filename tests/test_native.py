@@ -34,6 +34,13 @@ def test_lut_remap(rng):
     np.testing.assert_array_equal(native.lut_remap_u8(lab, lut), lut[lab])
 
 
+def test_hflip_matches_numpy(rng):
+    img = rng.standard_normal((33, 47, 3)).astype(np.float32)
+    np.testing.assert_array_equal(native.hflip_f32(img), img[:, ::-1])
+    edge = rng.standard_normal((33, 47)).astype(np.float32)
+    np.testing.assert_array_equal(native.hflip_f32(edge), edge[:, ::-1])
+
+
 @pytest.mark.skipif(not native.available(), reason="libpidnet_host.so not built")
 def test_native_lib_loaded():
     assert native.available()

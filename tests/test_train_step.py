@@ -148,7 +148,8 @@ def test_eval_step_confusion(setup, rng):
     step = make_eval_step(SPEC, loss_fn, mesh, num_classes=19)
     ts = TrainState.create(params, state)
     img, lab, edge = _batch(rng)
-    metrics, cms = step(ts, *shard_batch(mesh, img, lab, edge))
+    mask = np.ones(img.shape[0], np.float32)
+    metrics, cms = step(ts, *shard_batch(mesh, img, lab, edge, mask))
     cms = np.asarray(cms)
     assert cms.shape == (2, 19, 19)
     n_valid = int((lab != 255).sum())
