@@ -27,24 +27,45 @@ class Loader:
         num_workers: int = 2,
         seed: int = 304,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """`batch_size` is per-process. With `num_shards > 1` (one shard per
+        host process in multi-host training) each process iterates a
+        rank-strided subset of a SHARED shuffle (same seed on every rank),
+        padded by wrap-around so all ranks see the same number of batches —
+        torch DistributedSampler semantics behind the reference's
+        `sampler.set_epoch` hook (tools/train.py:176-178)."""
+        assert 0 <= shard_index < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._rng = np.random.default_rng(seed)
         self.epoch = 0
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def _batches(self):
+    def _shard_order(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.num_shards == 1:
+            return order
+        n_pad = -len(order) % self.num_shards
+        if n_pad:  # wrap-around pad so every rank gets the same count
+            order = np.concatenate([order, order[:n_pad]])
+        return order[self.shard_index :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        n = -(-n // self.num_shards) if self.num_shards > 1 else n
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        order = self._shard_order()
         stop = (
             len(order) - len(order) % self.batch_size
             if self.drop_last

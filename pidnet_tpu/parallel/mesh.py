@@ -36,7 +36,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host arrays with dim-0 sharded over the data axis."""
+    """Device-put host arrays with dim-0 sharded over the data axis.
+
+    Single-process: `arrays` are the GLOBAL batch. Multi-process (after
+    `jax.distributed.initialize()`): each process passes its LOCAL portion
+    of the batch (global batch = local x process_count, rank-sharded by
+    the Loader) and the global array is assembled across hosts — the DDP
+    analogue of the reference's per-GPU scatter (tools/train.py:136).
+    """
     s = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(
+            jax.make_array_from_process_local_data(s, np.asarray(a))
+            for a in arrays
+        )
+    else:
+        out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]

@@ -47,9 +47,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.multihost:
-        import jax
+    import jax
 
+    if args.multihost:
         jax.distributed.initialize()
     cfg = load_config(args.cfg, args.opts)
 
@@ -64,15 +64,37 @@ def main(argv=None):
         "valid_global_steps": 0,
     }
 
+    # device/process-count sanity (the reference asserts its GPU count the
+    # same way before training, tools/train.py:75-77)
+    n_proc = jax.process_count()
+    if jax.device_count() != jax.local_device_count() * n_proc:
+        raise RuntimeError(
+            f"inconsistent device topology: {jax.device_count()} global != "
+            f"{jax.local_device_count()} local x {n_proc} processes"
+        )
+    if args.multihost and n_proc < 2:
+        logger.info("--multihost with a single process; continuing single-host")
+
     mesh = make_mesh(cfg.DEVICES)
     n_dev = mesh.devices.size
-    logger.info("data mesh over %d device(s)", n_dev)
+    if n_proc > 1 and n_dev % n_proc != 0:
+        raise RuntimeError(
+            f"mesh size {n_dev} must divide evenly over {n_proc} processes"
+        )
+    is_primary = jax.process_index() == 0
+    logger.info(
+        "data mesh over %d device(s), %d process(es), primary=%s",
+        n_dev, n_proc, is_primary,
+    )
 
     spec = common.build_spec(cfg, augment=True)
     params, state = common.init_model(cfg, spec, seed=args.seed)
     params, state = common.maybe_load_pretrained(cfg, params, state)
 
+    # global batch = per-device x mesh size (reference tools/train.py:82,152);
+    # each process loads its rank-strided 1/n_proc of it
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    local_batch = batch_size // n_proc
     crop_size = (cfg.TRAIN.IMAGE_SIZE[1], cfg.TRAIN.IMAGE_SIZE[0])
     train_dataset = build_dataset(
         cfg.DATASET.DATASET,
@@ -89,11 +111,13 @@ def main(argv=None):
     )
     trainloader = Loader(
         train_dataset,
-        batch_size,
+        local_batch,
         shuffle=cfg.TRAIN.SHUFFLE,
         drop_last=True,
         num_workers=cfg.WORKERS,
         seed=args.seed,
+        num_shards=n_proc,
+        shard_index=jax.process_index(),
     )
 
     test_size = (cfg.TEST.IMAGE_SIZE[1], cfg.TEST.IMAGE_SIZE[0])
@@ -110,10 +134,12 @@ def main(argv=None):
         seed=args.seed,
     )
     # validation shards the batch over the mesh, one sample per device;
-    # engine.validate pads the final partial batch with ignore-labeled
-    # samples so no image is dropped
+    # engine.validate pads the final partial batch (masked inert) so no
+    # image is dropped
     testloader = Loader(
-        test_dataset, n_dev, shuffle=False, drop_last=False, num_workers=cfg.WORKERS
+        test_dataset, n_dev // n_proc, shuffle=False, drop_last=False,
+        num_workers=cfg.WORKERS, num_shards=n_proc,
+        shard_index=jax.process_index(),
     )
 
     loss_fn = FullLoss(
@@ -200,22 +226,25 @@ def main(argv=None):
 
             jax.profiler.stop_trace()  # profile covers the first epoch
 
-        logger.info("=> saving checkpoint to %s", final_output_dir)
-        ckpt.save_train_checkpoint(final_output_dir, epoch + 1, best_miou, ts)
+        if is_primary:  # params are replicated; one writer is enough
+            logger.info("=> saving checkpoint to %s", final_output_dir)
+            ckpt.save_train_checkpoint(final_output_dir, epoch + 1, best_miou, ts)
         if mean_iou > best_miou:
             best_miou = mean_iou
-            ckpt.save_model(
-                os.path.join(final_output_dir, "best.msgpack"), ts.params, ts.state
-            )
+            if is_primary:
+                ckpt.save_model(
+                    os.path.join(final_output_dir, "best.msgpack"), ts.params, ts.state
+                )
         logger.info(
             "Loss: %.3f, MeanIU: %.4f, Best_mIoU: %.4f", valid_loss, mean_iou, best_miou
         )
         if iou_array is not None:
             logger.info("%s", iou_array)
 
-    ckpt.save_model(
-        os.path.join(final_output_dir, "final_state.msgpack"), ts.params, ts.state
-    )
+    if is_primary:
+        ckpt.save_model(
+            os.path.join(final_output_dir, "final_state.msgpack"), ts.params, ts.state
+        )
     writer_dict["writer"].close()
     logger.info("Hours: %d", int((timeit.default_timer() - start) / 3600))
     logger.info("Done")

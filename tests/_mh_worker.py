@@ -1,0 +1,48 @@
+"""Worker for tests/test_multihost.py: one rank of a 2-process CPU
+`jax.distributed` data-parallel training run (the DDP analogue the
+reference leaves vestigial at tools/train.py:176-178).
+
+Usage: python _mh_worker.py <rank> <port>
+Prints `RANK<r> STEP<i> LOSS <value>` lines the parent test parses.
+"""
+
+import sys
+
+import jax
+
+# conftest dance: the ambient sitecustomize would otherwise pick the TPU
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+
+import numpy as np  # noqa: E402
+
+from pidnet_tpu.losses import FullLoss  # noqa: E402
+from pidnet_tpu.models import pidnet as M  # noqa: E402
+from pidnet_tpu.parallel import make_mesh, shard_batch  # noqa: E402
+from pidnet_tpu.train import TrainState, make_train_step  # noqa: E402
+
+assert jax.process_count() == 2
+assert jax.device_count() == jax.local_device_count() * 2
+
+mesh = make_mesh(-1)
+spec = M.spec_for("pidnet_s", 19, augment=True)
+params, state = M.init(jax.random.PRNGKey(0), spec)
+loss_fn = FullLoss(ignore_label=255, ohem_kept=500)
+step = make_train_step(spec, loss_fn, mesh, weight_decay=5e-4)
+ts = TrainState.create(params, state)
+
+# Every rank derives the same GLOBAL batch from the seed, then feeds only
+# its contiguous local slice (mesh device order == process order).
+rng = np.random.default_rng(0)
+img = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+lab = rng.integers(0, 19, (4, 64, 64)).astype(np.int32)
+edge = (rng.random((4, 64, 64)) < 0.1).astype(np.float32)
+lo = slice(rank * 2, rank * 2 + 2)
+
+for i in range(2):
+    ts, metrics = step(ts, *shard_batch(mesh, img[lo], lab[lo], edge[lo]), 0.01)
+    print(f"RANK{rank} STEP{i} LOSS {float(metrics['loss']):.10f}", flush=True)

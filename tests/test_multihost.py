@@ -1,0 +1,126 @@
+"""Multi-host (multi-process) data-parallel training smoke test.
+
+The reference trains single-process DataParallel only; its DDP hooks are
+vestigial (tools/train.py:176-178). Here the multi-host path is real:
+two OS processes, each with 2 virtual CPU devices, joined by
+`jax.distributed.initialize` into one 4-device `data` mesh running the
+actual `make_train_step`. The losses must (a) agree across ranks and
+(b) equal a single-process 4-device run of the same global batch —
+per-shard BN/OHEM semantics are topology-invariant.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+WORKER = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_oracle():
+    """Same global batch / model / 4-way sharding, one process."""
+    from pidnet_tpu.losses import FullLoss
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.parallel import make_mesh, shard_batch
+    from pidnet_tpu.train import TrainState, make_train_step
+
+    mesh = make_mesh(4)
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=500)
+    step = make_train_step(spec, loss_fn, mesh, weight_decay=5e-4)
+    ts = TrainState.create(params, state)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (4, 64, 64)).astype(np.int32)
+    edge = (rng.random((4, 64, 64)) < 0.1).astype(np.float32)
+    losses = []
+    for _ in range(2):
+        ts, metrics = step(ts, *shard_batch(mesh, img, lab, edge), 0.01)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_two_process_train_step_matches_single_process():
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(r), str(port)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in (0, 1)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out}"
+
+    losses = {}  # (rank, step) -> loss
+    for out in outs:
+        for m in re.finditer(r"RANK(\d) STEP(\d) LOSS ([\d.eE+-]+)", out):
+            losses[(int(m.group(1)), int(m.group(2)))] = float(m.group(3))
+    assert set(losses) == {(0, 0), (0, 1), (1, 0), (1, 1)}, losses
+
+    for i in (0, 1):
+        assert np.isfinite(losses[(0, i)])
+        # replicated metrics: bitwise-identical across ranks
+        assert losses[(0, i)] == losses[(1, i)], (i, losses)
+
+    oracle = _single_process_oracle()
+    # step 0: same forward math, only metric pmean order differs -> tight.
+    # step 1: runs on params after one SGD update, where cross-process
+    # (gloo) vs single-process all-reduce ordering perturbs grads at fp32
+    # epsilon and OHEM's discrete keep-set can flip -> measured ~4e-4 rel.
+    for i, rtol in ((0, 1e-5), (1, 5e-3)):
+        np.testing.assert_allclose(
+            losses[(0, i)], oracle[i], rtol=rtol,
+            err_msg=f"2-process step {i} loss != single-process oracle",
+        )
+
+
+def test_loader_rank_sharding():
+    """Rank-strided shards cover the dataset disjointly with equal batch
+    counts per rank (wrap-around padding), per epoch-stable shuffle."""
+    from pidnet_tpu.data.loader import Loader
+
+    class _DS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            img = np.full((2, 2, 3), i, np.float32)
+            return img, np.zeros((2, 2), np.uint8), np.zeros((2, 2), np.float32), np.array([2, 2]), str(i)
+
+    loaders = [
+        Loader(_DS(), 2, shuffle=True, seed=3, num_shards=2, shard_index=r,
+               num_workers=1)
+        for r in (0, 1)
+    ]
+    batches = [[b[0][:, 0, 0, 0] for b in ld] for ld in loaders]
+    assert len(batches[0]) == len(batches[1]) == len(loaders[0])
+    seen = [int(v) for bs in batches for b in bs for v in b]
+    # 11 padded to 12 by wrapping one index; all 11 covered
+    assert len(seen) == 12 and set(seen) == set(range(11))
