@@ -584,18 +584,29 @@ def _forward(ops, x, spec: PIDNetSpec):
 # ---------------------------------------------------------------------------
 
 
-def trace_spec(spec: PIDNetSpec, input_hw: tuple[int, int] = (64, 128)) -> _TraceOps:
+def _forward_of(spec):
+    """The wiring function for this spec — the architecture extension point.
+
+    A spec dataclass may carry its own `forward_fn(ops, x, spec)` (e.g.
+    models/ddrnet.DDRNetSpec); everything downstream (init, apply, folding,
+    train/eval steps, the engine, the CLIs) dispatches through here and is
+    architecture-agnostic. Default: the stock PIDNet wiring."""
+    return getattr(spec, "forward_fn", None) or _forward
+
+
+def trace_spec(spec, input_hw: tuple[int, int] = (64, 128)) -> _TraceOps:
     """Collect the full parameter/state spec via abstract evaluation."""
     ops = _TraceOps()
+    fwd = _forward_of(spec)
 
     def run(x):
-        return _forward(ops, x, spec)
+        return fwd(ops, x, spec)
 
     jax.eval_shape(run, jax.ShapeDtypeStruct((1, *input_hw, 3), jnp.float32))
     return ops
 
 
-def init(key, spec: PIDNetSpec) -> tuple[dict, dict]:
+def init(key, spec) -> tuple[dict, dict]:
     """Random init matching the reference's scheme (pidnet.py:95-100):
     kaiming-normal(fan_out, relu) conv weights, BN gamma=1/beta=0."""
     traced = trace_spec(spec)
@@ -627,7 +638,7 @@ def apply(
     params: dict,
     state: dict,
     x: jnp.ndarray,
-    spec: PIDNetSpec,
+    spec,
     *,
     train: bool = False,
     sync_bn_axis: str | None = None,
@@ -658,7 +669,7 @@ def apply(
     )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    out = _forward(ops, x, spec)
+    out = _forward_of(spec)(ops, x, spec)
     if train:
         new_state = dict(state)
         new_state.update(ops.new_state)

@@ -120,6 +120,57 @@ def test_folded_inference_matches(rng):
     np.testing.assert_allclose(got_s2d, got, rtol=1e-5, atol=1e-6)
 
 
+def test_export_loads_into_reference_get_seg_model(tmp_path, rng):
+    """True torch interop: a checkpoint written by `export_state_dict` loads
+    through the ACTUAL reference loader (`get_seg_model`'s `.pt` branch with
+    the `k[6:]` model-prefix strip, models/pidnet.py:204-214) and the torch
+    net then reproduces our logits."""
+    import types
+
+    import jax
+
+    from pidnet_tpu.convert.torch_weights import export_state_dict
+
+    ref = _reference_module()
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(21), spec)
+    # non-trivial BN stats so the merge is actually observable
+    state = {
+        k: (np.abs(np.asarray(v)) + 0.5 if "var" in k else np.asarray(v) + 0.1)
+        for k, v in state.items()
+    }
+
+    path = str(tmp_path / "exported.pt")
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in export_state_dict(params, state).items()},
+        path,
+    )
+    cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(NAME="pidnet_s", PRETRAINED=path),
+        DATASET=types.SimpleNamespace(NUM_CLASSES=19),
+    )
+    net = ref.get_seg_model(cfg, imgnet_pretrained=False).eval()
+
+    # every exported tensor must actually have been merged (not left at the
+    # torch net's fresh init): compare a conv and a BN running stat
+    got_w = net.state_dict()["conv1.0.weight"].numpy()
+    want_w = np.transpose(np.asarray(params["conv1.0.weight"]), (3, 2, 0, 1))
+    np.testing.assert_allclose(got_w, want_w, atol=1e-7)
+    np.testing.assert_allclose(
+        net.state_dict()["layer1.0.bn1.running_var"].numpy(),
+        np.asarray(state["layer1.0.bn1.running_var"]),
+        atol=1e-7,
+    )
+
+    x = rng.standard_normal((1, 64, 128, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want = [o.permute(0, 2, 3, 1).numpy() for o in want]
+    got = [np.asarray(o) for o in M.apply(params, state, x, spec)]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-4)
+
+
 def test_model_prefix_strip(rng):
     """Finetuned `.pt` checkpoints carry a FullModel `model.` prefix
     (reference tools/custom.py:64)."""
