@@ -162,9 +162,12 @@ class _ApplyOps:
         cd = self.compute_dtype
 
         def cv(name, z, bias=False):
-            idx, mask, stride, pad, _ = specs[name]
+            eq, E1, E2, out_shape, stride, pad, _ = specs[name]
             w = self.params[name + ".weight"]
-            K = jnp.take(w.reshape(-1), jnp.asarray(idx)) * jnp.asarray(mask)
+            # expanded kernel = two micro one-hot contractions (see
+            # ops.space_to_depth.s2d_axis_factor); the transpose of the
+            # einsum scatter-adds cotangents back onto the canonical weight
+            K = jnp.einsum(eq, jnp.asarray(E1), jnp.asarray(E2), w).reshape(out_shape)
             b = None
             if bias:
                 b0 = self.params[name + ".bias"]
@@ -244,38 +247,36 @@ from functools import lru_cache as _lru_cache
 
 @_lru_cache(maxsize=None)
 def _live_s2d_specs(m: int, planes: int):
-    """Static (idx, mask, stride, padding, bn_groups) per front conv for the
-    live (unfolded) s2d path; see ops/space_to_depth.py."""
+    """Static (einsum, E1, E2, out_shape, stride, padding, bn_groups) per
+    front conv for the live (unfolded) s2d path; see ops/space_to_depth.py
+    (`s2d_axis_factor` / `s2d_stem_axis_factors`)."""
     from pidnet_tpu.ops.space_to_depth import (
-        s2d_conv_weight,
-        s2d_expander,
-        s2d_stem_wide_weight,
+        s2d_axis_factor,
+        s2d_stem_axis_factors,
     )
 
+    CONV_EQ = "PAak,QBbl,klco->PQABcabo"
     P10, P11, P00 = ((1, 0), (1, 0)), ((1, 1), (1, 1)), ((0, 0), (0, 0))
+    p = planes
     specs = {}
+    E1w, E2w = s2d_stem_axis_factors()
     specs["conv1.0"] = (
-        *s2d_expander(s2d_stem_wide_weight, (3, 3, 3, planes)),
+        "hak,QBbl,klco->hQBcabo", E1w, E2w, (9, 2, 8 * 3, 16 * p),
         (8, 1), P10, 16,
     )
-    specs["conv1.3"] = (
-        *s2d_expander(s2d_conv_weight, (3, 3, planes, planes), 4, 2),
-        1, P10, 4,
-    )
+
+    def conv_spec(k, in_block, stride, cin, cout, pad, groups):
+        E, _ = s2d_axis_factor(k, in_block, stride)
+        T, ob = E.shape[0], in_block // stride
+        shape = (T, T, in_block * in_block * cin, ob * ob * cout)
+        return (CONV_EQ, E, E, shape, 1, pad, groups)
+
+    specs["conv1.3"] = conv_spec(3, 4, 2, p, p, P10, 4)
     for i in range(m):
         for cname in ("conv1", "conv2"):
-            specs[f"layer1.{i}.{cname}"] = (
-                *s2d_expander(s2d_conv_weight, (3, 3, planes, planes), 2, 1),
-                1, P11, 4,
-            )
-    specs["layer2.0.conv1"] = (
-        *s2d_expander(s2d_conv_weight, (3, 3, planes, planes * 2), 2, 2),
-        1, P10, 1,
-    )
-    specs["layer2.0.downsample.0"] = (
-        *s2d_expander(s2d_conv_weight, (1, 1, planes, planes * 2), 2, 2),
-        1, P00, 1,
-    )
+            specs[f"layer1.{i}.{cname}"] = conv_spec(3, 2, 1, p, p, P11, 4)
+    specs["layer2.0.conv1"] = conv_spec(3, 2, 2, p, p * 2, P10, 1)
+    specs["layer2.0.downsample.0"] = conv_spec(1, 2, 2, p, p * 2, P00, 1)
     return specs
 
 
