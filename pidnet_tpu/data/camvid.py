@@ -79,7 +79,11 @@ class CamVid(SegDataset):
         return self.color2label(np.array(cm))
 
     def save_pred(self, preds: np.ndarray, sv_path: str, names) -> None:
-        preds = np.asarray(np.argmax(preds, axis=-1), dtype=np.uint8)
+        # accepts (N,H,W,C) logits or an (N,H,W) class map (the fused
+        # upsample+argmax inference path, engine.make_inference_classmap)
+        if preds.ndim == 4:
+            preds = np.argmax(preds, axis=-1)
+        preds = np.asarray(preds, dtype=np.uint8)
         for i in range(preds.shape[0]):
             Image.fromarray(self.label2color(preds[i])).save(
                 os.path.join(sv_path, names[i] + ".png")

@@ -89,7 +89,11 @@ class Cityscapes(SegDataset):
     def save_pred(self, preds: np.ndarray, sv_path: str, names) -> None:
         """Write submission-format PNGs (train ids -> raw label ids,
         reference cityscapes.py:122-127)."""
-        preds = np.asarray(np.argmax(preds, axis=-1), dtype=np.uint8)
+        # accepts (N,H,W,C) logits or an (N,H,W) class map (the fused
+        # upsample+argmax inference path, engine.make_inference_classmap)
+        if preds.ndim == 4:
+            preds = np.argmax(preds, axis=-1)
+        preds = np.asarray(preds, dtype=np.uint8)
         for i in range(preds.shape[0]):
             pred = self.convert_label(preds[i], inverse=True)
             Image.fromarray(pred).save(os.path.join(sv_path, names[i] + ".png"))

@@ -176,6 +176,36 @@ def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None
     return infer
 
 
+def make_inference_classmap(cfg, spec, params, state, *, folded=False, compute_dtype=None):
+    """Class-map inference closure: model -> OUTPUT_INDEX -> fused
+    bilinear-upsample+argmax (ops/upsample_argmax.py, Pallas on TPU) ->
+    (N,H,W) int32. Argmax-equivalent to `make_inference` (exp() is
+    monotonic, reference base_dataset.py:150) while never materializing
+    or transferring full-resolution 19-channel logits — the speed path
+    for testval/test/custom."""
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.ops.upsample_argmax import upsample_argmax
+
+    @jax.jit
+    def infer(x):
+        out = M.apply(
+            params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
+            stem_s2d=folded,
+        )
+        if isinstance(out, (list, tuple)):
+            if cfg.MODEL.NUM_OUTPUTS > 1:
+                out = out[cfg.TEST.OUTPUT_INDEX]
+            else:
+                raise ValueError(
+                    "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
+                )
+        return upsample_argmax(
+            out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
+        )
+
+    return infer
+
+
 def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = False):
     """Labeled single-scale evaluation (reference utils/function.py:131-177)."""
     import os

@@ -82,6 +82,37 @@ def _per_pixel_ce(logits, labels, class_weights, ignore_label):
     return nll, w, valid
 
 
+def _ce_from_maps(nll, w, divide_by: str = "weights", numel=None):
+    """Reduce per-pixel (nll, weight) maps to the scalar CE."""
+    wl = nll * w
+    if divide_by == "numel":
+        denom = wl.size if numel is None else jnp.maximum(numel, 1)
+        return jnp.sum(wl) / denom
+    return jnp.sum(wl) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def _ohem_from_maps(nll, w, valid, thres: float, min_kept: int):
+    """OHEM reduction over per-pixel maps (reference criterion.py:63-78)."""
+    min_kept = max(1, int(min_kept))
+    wl = nll * w
+    # predicted prob of the true class = exp(log_softmax[label]) = exp(-nll)
+    true_prob = jnp.where(valid, jnp.exp(-jax.lax.stop_gradient(nll)), _BIG)
+    true_prob = true_prob.reshape(-1)
+
+    # kth smallest valid prob (reference: sorted pred[min(min_kept, nvalid-1)],
+    # criterion.py:73) — found by exact bit-space bisection, no sort. Invalid
+    # pixels rank last via the _BIG sentinel; the clamp to nvalid-1 makes the
+    # degenerate almost-all-ignored case match the reference exactly too.
+    nvalid = jnp.sum(valid)
+    k = jnp.clip(jnp.minimum(min_kept, nvalid - 1), 0, true_prob.size - 1)
+    kth = _kth_smallest(true_prob, k)
+    threshold = jnp.maximum(kth, thres)
+
+    keep = valid.reshape(-1) & (true_prob < threshold)
+    kept_losses = jnp.where(keep, wl.reshape(-1), 0.0)
+    return jnp.sum(kept_losses) / jnp.maximum(jnp.sum(keep), 1)
+
+
 def cross_entropy(
     logits,
     labels,
@@ -103,11 +134,7 @@ def cross_entropy(
     the padded validation path to count only real samples' pixels.
     """
     nll, w, _ = _per_pixel_ce(logits, labels, class_weights, ignore_label)
-    wl = nll * w
-    if divide_by == "numel":
-        denom = wl.size if numel is None else jnp.maximum(numel, 1)
-        return jnp.sum(wl) / denom
-    return jnp.sum(wl) / jnp.maximum(jnp.sum(w), 1e-12)
+    return _ce_from_maps(nll, w, divide_by, numel)
 
 
 def ohem_cross_entropy(
@@ -119,25 +146,8 @@ def ohem_cross_entropy(
     min_kept: int = 100000,
 ):
     """Online hard-example mining CE (reference criterion.py:63-78)."""
-    min_kept = max(1, int(min_kept))
     nll, w, valid = _per_pixel_ce(logits, labels, class_weights, ignore_label)
-    wl = nll * w
-    # predicted prob of the true class = exp(log_softmax[label]) = exp(-nll)
-    true_prob = jnp.where(valid, jnp.exp(-jax.lax.stop_gradient(nll)), _BIG)
-    true_prob = true_prob.reshape(-1)
-
-    # kth smallest valid prob (reference: sorted pred[min(min_kept, nvalid-1)],
-    # criterion.py:73) — found by exact bit-space bisection, no sort. Invalid
-    # pixels rank last via the _BIG sentinel; the clamp to nvalid-1 makes the
-    # degenerate almost-all-ignored case match the reference exactly too.
-    nvalid = jnp.sum(valid)
-    k = jnp.clip(jnp.minimum(min_kept, nvalid - 1), 0, true_prob.size - 1)
-    kth = _kth_smallest(true_prob, k)
-    threshold = jnp.maximum(kth, thres)
-
-    keep = valid.reshape(-1) & (true_prob < threshold)
-    kept_losses = jnp.where(keep, wl.reshape(-1), 0.0)
-    return jnp.sum(kept_losses) / jnp.maximum(jnp.sum(keep), 1)
+    return _ohem_from_maps(nll, w, valid, thres, min_kept)
 
 
 def weighted_bce(bd_logits, targets, numel=None):
@@ -201,32 +211,43 @@ class FullLoss:
         self.bd_coeff = bd_coeff
         assert num_outputs == len(self.balance_weights)
 
-    def _single(self, logits, labels, use_ohem, numel=None):
+    def _maps(self, logits, labels, out_hw):
+        """Per-pixel (nll, weight, valid) at label resolution. Low-res
+        logits go through ops.ce_front.ce_maps, which on the bf16 TPU
+        training path fuses upsample+log-softmax+NLL in one Pallas kernel
+        (full-res C-channel logits never reach HBM); otherwise it is the
+        exact XLA resize + one-hot CE."""
+        from pidnet_tpu.ops.ce_front import ce_maps
+
+        nll, w = ce_maps(
+            logits, labels, self.class_weights, self.ignore_label, out_hw,
+            self.align_corners,
+        )
+        return nll, w, labels != self.ignore_label
+
+    def _single_maps(self, maps, use_ohem, numel=None):
+        nll, w, valid = maps
         if use_ohem:
-            return ohem_cross_entropy(
-                logits,
-                labels,
-                self.class_weights,
-                self.ignore_label,
-                self.ohem_thres,
-                self.ohem_kept,
-            )
+            return _ohem_from_maps(nll, w, valid, self.ohem_thres, self.ohem_kept)
         # Inside the OHEM criterion the aux head's plain CE is normalized
         # by total pixel count (see cross_entropy docstring); the non-OHEM
         # criterion uses torch's weighted mean.
         divide_by = "numel" if self.use_ohem else "weights"
-        return cross_entropy(
-            logits, labels, self.class_weights, self.ignore_label, divide_by, numel
-        )
+        return _ce_from_maps(nll, w, divide_by, numel)
 
-    def sem_loss(self, scores: list, labels, numel=None):
+    def sem_loss(self, scores: list, labels, numel=None, out_hw=None):
         """Balance-weighted multi-output semantic loss: plain CE on all but
         the last head, OHEM on the last (reference criterion.py:87-93)."""
+        out_hw = out_hw or (labels.shape[1], labels.shape[2])
         losses = []
         for i, (w, s) in enumerate(zip(self.balance_weights, scores)):
             is_last = i == len(scores) - 1
             losses.append(
-                w * self._single(s, labels, self.use_ohem and is_last, numel)
+                w * self._single_maps(
+                    self._maps(s, labels, out_hw),
+                    self.use_ohem and is_last,
+                    numel,
+                )
             )
         return sum(losses)
 
@@ -237,16 +258,17 @@ class FullLoss:
         so the loss over a padded batch equals the loss the reference
         computes over the unpadded batch (utils/function.py:94-106)."""
         from pidnet_tpu.ops.resize import resize_bilinear
+        from pidnet_tpu.ops.upsample_argmax import upsample_argmax
 
         h, w = labels.shape[1], labels.shape[2]
-        outputs = [
-            resize_bilinear(o, (h, w), self.align_corners)
-            if o.shape[1:3] != (h, w)
-            else o
-            for o in outputs
-        ]
-        seg_final = outputs[-2]
+        # seg heads stay LOW-RES (the CE maps upsample on the fly); only
+        # the 1-channel boundary head is materialized at label size
+        # (reference utils/utils.py:41-46 upsamples everything — same math)
+        seg_heads = outputs[:-1]
+        seg_final = seg_heads[-1]
         bd_head = outputs[-1]
+        if bd_head.shape[1:3] != (h, w):
+            bd_head = resize_bilinear(bd_head, (h, w), self.align_corners)
 
         numel = None
         sample_valid = None
@@ -262,20 +284,24 @@ class FullLoss:
         # every label >= 0 as valid (utils/utils.py:31), so with
         # IGNORE_LABEL=255 the ignored pixels count against accuracy.
         # Faithfully reproduced (padding samples excluded when masked).
-        preds = jnp.argmax(seg_final, axis=-1)
+        preds = upsample_argmax(
+            jax.lax.stop_gradient(seg_final), (h, w), self.align_corners
+        )
         valid = labels >= 0
         if sample_valid is not None:
             valid = valid & sample_valid
         acc = jnp.sum(valid & (preds == labels)) / (jnp.sum(valid) + 1e-10)
 
-        loss_s = self.sem_loss(outputs[:-1], labels, numel)
+        loss_s = self.sem_loss(seg_heads, labels, numel, (h, w))
         loss_b = self.bd_coeff * weighted_bce(bd_head, bd_gt, numel)
 
         # boundary-aware CE: only pixels the boundary head is confident
         # about keep their label (utils/utils.py:52-54)
         bd_conf = jax.nn.sigmoid(bd_head[..., 0].astype(jnp.float32)) > 0.8
         bd_label = jnp.where(bd_conf, labels, self.ignore_label)
-        loss_sb = self.sb_weights * self._single(seg_final, bd_label, self.use_ohem)
+        loss_sb = self.sb_weights * self._single_maps(
+            self._maps(seg_final, bd_label, (h, w)), self.use_ohem
+        )
 
         loss = loss_s + loss_b + loss_sb
         metrics = {

@@ -69,6 +69,10 @@ def main(argv=None):
             params, state, x, spec, folded=folded,
             compute_dtype=jnp.bfloat16 if args.bf16 else None,
         )
+        if args.bf16:  # fused Pallas upsample+argmax on the speed path
+            from pidnet_tpu.ops.upsample_argmax import upsample_argmax
+
+            return upsample_argmax(pred, (x.shape[1], x.shape[2]), True)
         pred = resize_bilinear(pred, (x.shape[1], x.shape[2]), True)
         return jnp.argmax(pred, axis=-1)
 

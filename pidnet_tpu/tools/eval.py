@@ -75,7 +75,10 @@ def main(argv=None):
     )
     testloader = Loader(test_dataset, 1, shuffle=False, num_workers=0)
 
-    infer = engine.make_inference(
+    # speed path: class-map inference (fused upsample+argmax, no full-res
+    # logits); parity path: exp'd full-res probabilities like the reference
+    make = engine.make_inference_classmap if args.fold_bn else engine.make_inference
+    infer = make(
         cfg,
         spec,
         params,
