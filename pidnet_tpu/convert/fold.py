@@ -47,7 +47,22 @@ def fold_params(params: dict, state: dict, spec) -> dict:
 
     # space-to-depth variants of the front of the network (stem + layer1 +
     # layer2.0's strided convs — identical math, MXU-friendly; consumed by
-    # apply(..., stem_s2d=True), see models.pidnet._ApplyOps.stem_front)
+    # apply(..., stem_s2d=True), see models.pidnet._ApplyOps.stem_front).
+    # Only architectures with the PIDNet/DDRNet stem layout have them;
+    # other specs (e.g. BiSeNet) simply fold without an s2d front.
+    if "conv1.0.weight" not in folded or not hasattr(spec, "m"):
+        for bn_name in traced.bns:
+            if bn_name in paired_bns:
+                continue
+            g = params[bn_name + ".weight"]
+            b = params[bn_name + ".bias"]
+            m = state[bn_name + ".running_mean"]
+            v = state[bn_name + ".running_var"]
+            scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))
+            folded[bn_name + ".scale"] = scale
+            folded[bn_name + ".shift"] = b - m * scale
+        return folded
+
     from pidnet_tpu.ops.space_to_depth import (
         s2d_conv_bias,
         s2d_conv_weight,

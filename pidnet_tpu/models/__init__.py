@@ -1,1 +1,1 @@
-from pidnet_tpu.models import ddrnet, pidnet  # noqa: F401
+from pidnet_tpu.models import bisenet, ddrnet, pidnet  # noqa: F401

@@ -179,6 +179,24 @@ def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.nd
     return (summed * (1.0 / (kernel * kernel))).astype(x.dtype)
 
 
+def max_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """MaxPool2d (torch semantics: padding never wins — -inf identity).
+    Used by the BiSeNet ablation's ResNet-18 stem (reference
+    models/others/resnet.py:61)."""
+    # a literal init value keeps reduce_window reverse-mode differentiable
+    init = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(
+        jnp.iinfo(x.dtype).min
+    )
+    return lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """AdaptiveAvgPool2d((1,1)): NHWC -> N11C."""
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)

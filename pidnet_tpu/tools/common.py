@@ -13,13 +13,18 @@ log = logging.getLogger("pidnet_tpu")
 
 
 def build_spec(cfg, augment: bool = True):
-    """Model selection by MODEL.NAME. `ddrnet*` names build the
-    DDRNet-23-ADB-Bag ablation (models/ddrnet.py); everything else follows
-    the reference's pidnet substring rule (models/pidnet.py:186-191)."""
+    """Model selection by MODEL.NAME. `ddrnet*` / `bisenet*` names build
+    the reference's paper ablations (models/ddrnet.py, models/bisenet.py);
+    everything else follows the reference's pidnet substring rule
+    (models/pidnet.py:186-191)."""
     if "ddrnet" in cfg.MODEL.NAME:
         from pidnet_tpu.models import ddrnet
 
         return ddrnet.spec_for(cfg.MODEL.NAME, cfg.DATASET.NUM_CLASSES, augment)
+    if "bisenet" in cfg.MODEL.NAME:
+        from pidnet_tpu.models import bisenet
+
+        return bisenet.spec_for(cfg.MODEL.NAME, cfg.DATASET.NUM_CLASSES, augment)
     return M.spec_for(cfg.MODEL.NAME, cfg.DATASET.NUM_CLASSES, augment)
 
 
