@@ -2,11 +2,13 @@
 `jax.distributed` data-parallel training run (the DDP analogue the
 reference leaves vestigial at tools/train.py:176-178).
 
-Usage: python _mh_worker.py <rank> <port>
+Usage: python _mh_worker.py <rank> <port> <barrier_dir>
 Prints `RANK<r> STEP<i> LOSS <value>` lines the parent test parses.
 """
 
+import os
 import sys
+import time
 
 import jax
 
@@ -16,7 +18,25 @@ jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 rank = int(sys.argv[1])
 port = sys.argv[2]
+barrier_dir = sys.argv[3]
 jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """File barrier between the two ranks. Needed because gloo's TCP pair
+    connect (first cross-process collective) times out in ~30 s: if one
+    rank finishes XLA compilation minutes before the other (CPU
+    contention makes compile times diverge), its collective would give up
+    before the peer arrives. Both ranks AOT-compile first, then meet here."""
+    mine = os.path.join(barrier_dir, f"{name}.{rank}")
+    other = os.path.join(barrier_dir, f"{name}.{1 - rank}")
+    with open(mine, "w"):
+        pass
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(other):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"barrier {name}: rank {1 - rank} never arrived")
+        time.sleep(0.2)
 
 import numpy as np  # noqa: E402
 
@@ -43,6 +63,10 @@ lab = rng.integers(0, 19, (4, 64, 64)).astype(np.int32)
 edge = (rng.random((4, 64, 64)) < 0.1).astype(np.float32)
 lo = slice(rank * 2, rank * 2 + 2)
 
+batch = shard_batch(mesh, img[lo], lab[lo], edge[lo])
+compiled = step.lower(ts, *batch, 0.01).compile()
+barrier("compiled")
+
 for i in range(2):
-    ts, metrics = step(ts, *shard_batch(mesh, img[lo], lab[lo], edge[lo]), 0.01)
+    ts, metrics = compiled(ts, *batch, 0.01)
     print(f"RANK{rank} STEP{i} LOSS {float(metrics['loss']):.10f}", flush=True)

@@ -55,7 +55,7 @@ def _single_process_oracle():
     return losses
 
 
-def test_two_process_train_step_matches_single_process():
+def test_two_process_train_step_matches_single_process(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -68,7 +68,7 @@ def test_two_process_train_step_matches_single_process():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(r), str(port)],
+            [sys.executable, WORKER, str(r), str(port), str(tmp_path)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
