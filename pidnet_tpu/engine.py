@@ -146,17 +146,41 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
     return ave_loss.average(), mean_iou, iou_array
 
 
-def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None):
+def _spatial_jit_opts(spatial_mesh):
+    """(shard_hint, jit kwargs) for an optional (data, spatial) mesh: the
+    input image is sharded N×H across it, params/state ride as REPLICATED
+    jit arguments (embedding them as closure constants under a sharded jit
+    lets the partitioner re-layout them inconsistently — observed to
+    corrupt logits on the CPU mesh), and the model runs under the GSPMD
+    partitioner (parallel/spatial.py) — conv halo exchange and pooling
+    reductions all emitted by XLA. None → plain single-device jit."""
+    if spatial_mesh is None:
+        return None, {}
+    from pidnet_tpu.parallel.spatial import image_sharding, replicated, spp_hint
+
+    rep = replicated(spatial_mesh)
+    return spp_hint(spatial_mesh), {
+        "in_shardings": (rep, rep, image_sharding(spatial_mesh))
+    }
+
+
+def make_inference(
+    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None
+):
     """Single-image inference closure (reference base_dataset.py:136-150):
     model -> pick TEST.OUTPUT_INDEX -> bilinear to input size
     (align_corners=cfg.MODEL.ALIGN_CORNERS) -> exp()."""
+    from functools import partial
+
     from pidnet_tpu.models import pidnet as M
 
-    @jax.jit
-    def infer(x):
+    hint, jit_opts = _spatial_jit_opts(spatial_mesh)
+
+    @partial(jax.jit, **jit_opts)
+    def _infer(params, state, x):
         out = M.apply(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded,
+            stem_s2d=folded, shard_hint=hint,
         )
         if isinstance(out, (list, tuple)):
             if cfg.MODEL.NUM_OUTPUTS > 1:
@@ -173,24 +197,35 @@ def make_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None
         pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
         return jnp.exp(pred.astype(jnp.float32))
 
+    def infer(x):
+        return _infer(params, state, x)
+
     return infer
 
 
-def make_inference_classmap(cfg, spec, params, state, *, folded=False, compute_dtype=None):
+def make_inference_classmap(
+    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None
+):
     """Class-map inference closure: model -> OUTPUT_INDEX -> fused
     bilinear-upsample+argmax (ops/upsample_argmax.py, Pallas on TPU) ->
     (N,H,W) int32. Argmax-equivalent to `make_inference` (exp() is
     monotonic, reference base_dataset.py:150) while never materializing
     or transferring full-resolution 19-channel logits — the speed path
-    for testval/test/custom."""
+    for testval/test/custom. Under a spatial mesh the XLA resize+argmax
+    pair is used instead of the Pallas kernel (an opaque custom call the
+    SPMD partitioner could not shard)."""
+    from functools import partial
+
     from pidnet_tpu.models import pidnet as M
     from pidnet_tpu.ops.upsample_argmax import upsample_argmax
 
-    @jax.jit
-    def infer(x):
+    hint, jit_opts = _spatial_jit_opts(spatial_mesh)
+
+    @partial(jax.jit, **jit_opts)
+    def _infer(params, state, x):
         out = M.apply(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded,
+            stem_s2d=folded, shard_hint=hint,
         )
         if isinstance(out, (list, tuple)):
             if cfg.MODEL.NUM_OUTPUTS > 1:
@@ -199,9 +234,15 @@ def make_inference_classmap(cfg, spec, params, state, *, folded=False, compute_d
                 raise ValueError(
                     "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
                 )
+        if spatial_mesh is not None:
+            up = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
+            return jnp.argmax(up, axis=-1).astype(jnp.int32)
         return upsample_argmax(
             out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
         )
+
+    def infer(x):
+        return _infer(params, state, x)
 
     return infer
 

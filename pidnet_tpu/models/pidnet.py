@@ -79,6 +79,7 @@ class _ApplyOps:
         compute_dtype,
         folded: bool,
         stem_s2d: bool = False,
+        shard_hint=None,
     ):
         self.params = params
         self.state = state
@@ -87,6 +88,7 @@ class _ApplyOps:
         self.compute_dtype = compute_dtype
         self.folded = folded
         self.stem_s2d = stem_s2d
+        self.shard_hint = shard_hint
         self.new_state: dict = {}
 
     def stem_front(self, x, spec):
@@ -504,6 +506,14 @@ def _ddfm_v2(ops, prefix, p, i, d, outplanes):
 # ---------------------------------------------------------------------------
 
 
+def _hint(ops, name: str, x):
+    """Optional partitioning hint (parallel/spatial.py): lets a sharded
+    caller re-constrain layouts at named points without any mesh knowledge
+    living in the model. Identity unless the caller installed a hook."""
+    h = getattr(ops, "shard_hint", None)
+    return h(name, x) if h is not None else x
+
+
 def _forward(ops, x, spec: PIDNetSpec):
     """Reference models/pidnet.py:136-182, NHWC."""
     p = spec.planes
@@ -559,13 +569,18 @@ def _forward(ops, x, spec: PIDNetSpec):
 
     x_ = _layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
     x_d = _layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
-    x = _layer(ops, "layer5", x, "bottleneck", p * 8, 2, stride=2)  # I @1/64
+    # "pre_spp"/"post_spp": under spatial (H-dim) sharding the caller
+    # un-shards H here — the 1/64 PPM maps are tiny (16x32 at 1024x2048),
+    # so sharding them is all collective overhead, and the giant-padding
+    # avg pools are exactly where GSPMD's halo machinery is least at home.
+    x = _layer(ops, "layer5", _hint(ops, "pre_spp", x),
+               "bottleneck", p * 8, 2, stride=2)  # I @1/64
 
     if spec.m == 2:
         spp = _pappm(ops, "spp", x, spec.ppm_planes, p * 4)
     else:
         spp = _dappm(ops, "spp", x, spec.ppm_planes, p * 4)
-    x = resize_bilinear(spp, (h8, w8), ALGC)
+    x = _hint(ops, "post_spp", resize_bilinear(spp, (h8, w8), ALGC))
 
     if spec.m == 2:
         fused = _light_bag(ops, "dfm", x_, x, x_d, p * 4)
@@ -646,6 +661,7 @@ def apply(
     compute_dtype=None,
     folded: bool = False,
     stem_s2d: bool = False,
+    shard_hint=None,
 ):
     """Run the network on NHWC input.
 
@@ -667,6 +683,7 @@ def apply(
         compute_dtype=compute_dtype,
         folded=folded,
         stem_s2d=stem_s2d,
+        shard_hint=shard_hint,
     )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

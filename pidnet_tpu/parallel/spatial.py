@@ -1,0 +1,188 @@
+"""Spatial partitioning: shard the image H dim across a mesh axis (GSPMD).
+
+SURVEY §2.7 reserves an optional "spatial partitioning of H/W dims with
+halo exchange for convs" as the CNN analogue of sequence/context
+parallelism — for when a single full-resolution activation set exceeds
+per-chip HBM (the reference's closest analogue is one-device 2048x1024
+eval, configs/*/yaml TEST.IMAGE_SIZE).
+
+TPU-native design: instead of hand-writing `ppermute` halo exchanges in a
+shard_map (the obvious translation), we jit the UNMODIFIED network with
+`jax.sharding` annotations that split N over a `data` axis and H over a
+`spatial` axis, and let XLA's SPMD partitioner insert the conv halo
+exchanges, the cross-shard reductions behind BatchNorm batch statistics
+and DAPPM/PAPPM global pooling, and the collectives behind the global
+OHEM threshold — all riding ICI. This keeps one source of truth for the
+model math (models/pidnet.py) with zero partitioning-aware code in it,
+and the partitioner's halo exchange is exactly the overlap-region
+`ppermute` we would otherwise write by hand.
+
+Semantics note: the spatial train step is a *global-batch* program —
+BatchNorm uses global (sync-BN) statistics and OHEM thresholds over the
+global pixel pool, because spatial shards of one image must share both.
+That matches `make_train_step(..., sync_bn=True)` up to OHEM granularity
+(global top-k rather than per-replica top-k); the per-shard-BN torch
+DataParallel semantics live in train/step.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pidnet_tpu.parallel.mesh import DATA_AXIS
+
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh_2d(n_data: int, n_spatial: int, devices=None) -> Mesh:
+    """(data, spatial) mesh over the first n_data*n_spatial devices.
+
+    The spatial axis is placed minor (fastest-varying over the device
+    order) so H-dim halo exchanges ride adjacent-chip ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_spatial
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch: N over `data`, H over `spatial`."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def spp_hint(mesh: Mesh):
+    """Model partitioning hook (models.pidnet._hint): un-shard the H dim
+    for the 1/64 PPM stage. The maps there are tiny (16x32 at 1024x2048
+    input), so replicating H costs one small all-gather and removes both
+    the per-pool halo collectives and GSPMD's giant-padding reduce_window
+    edge cases (observed to produce wrong gradients on a 2-D mesh);
+    "post_spp" re-shards the 1/8-res output back onto the spatial axis."""
+    batch_only = NamedSharding(mesh, P(DATA_AXIS))
+    sharded = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+    def hint(name, x):
+        if name == "pre_spp":
+            return jax.lax.with_sharding_constraint(x, batch_only)
+        if name == "post_spp":
+            return jax.lax.with_sharding_constraint(x, sharded)
+        return x
+
+    return hint
+
+
+def make_spatial_infer(
+    spec,
+    mesh: Mesh,
+    *,
+    folded: bool = False,
+    compute_dtype=None,
+    stem_s2d: bool = False,
+):
+    """Jitted inference forward with N×H sharded input, replicated params.
+
+    Returns fn(params_or_folded, state, x) -> outputs (each head sharded
+    like the input; gather with jax.device_get as needed). With
+    `folded=True` pass the fold_params output and `state={}`.
+    """
+    from pidnet_tpu.models import pidnet as M
+
+    img_s = image_sharding(mesh)
+    rep = replicated(mesh)
+    hint = spp_hint(mesh)
+
+    @partial(jax.jit, in_shardings=(rep, rep, img_s))
+    def fn(params, state, x):
+        outs = M.apply(
+            params,
+            state,
+            x,
+            spec,
+            train=False,
+            folded=folded,
+            compute_dtype=compute_dtype,
+            stem_s2d=stem_s2d,
+            shard_hint=hint,
+        )
+        # Keep heads in the input layout; downstream (resize/argmax) stays
+        # spatially sharded too.
+        return [jax.lax.with_sharding_constraint(o, img_s) for o in outs]
+
+    return fn
+
+
+def make_spatial_train_step(
+    spec,
+    loss_fn,
+    mesh: Mesh,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0005,
+    nesterov: bool = False,
+    compute_dtype=None,
+    stem_s2d: bool = False,
+):
+    """GSPMD train step over a (data, spatial) mesh.
+
+    step(ts: TrainState, images, labels, edges, lr) -> (ts, metrics).
+    Inputs are globally-shaped; place them with `put_batch(mesh, ...)`.
+    Gradients/updates fall out of the partitioner (replicated params →
+    psum'd cotangents); no shard_map, no manual collectives.
+    """
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.train.step import TrainState, _sgd
+
+    img_s = image_sharding(mesh)
+    rep = replicated(mesh)
+    ts_s = TrainState(params=rep, state=rep, momentum=rep)
+    hint = spp_hint(mesh)
+
+    def loss_of(params, state, images, labels, edges):
+        outputs, new_state = M.apply(
+            params,
+            state,
+            images,
+            spec,
+            train=True,
+            compute_dtype=compute_dtype,
+            stem_s2d=stem_s2d,
+            shard_hint=hint,
+        )
+        loss, metrics = loss_fn(outputs, labels, edges)
+        return loss, (new_state, metrics)
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0,),
+        in_shardings=(ts_s, img_s, img_s, img_s, rep),
+        out_shardings=(ts_s, rep),
+    )
+    def step(ts, images, labels, edges, lr):
+        grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+        (_, (new_state, metrics)), grads = grad_fn(
+            ts.params, ts.state, images, labels, edges
+        )
+        new_params, new_bufs = _sgd(
+            ts.params, grads, ts.momentum, lr, momentum, weight_decay, nesterov
+        )
+        return TrainState(new_params, new_state, new_bufs), metrics
+
+    return step
+
+
+def put_batch(mesh: Mesh, *arrays):
+    """Device-put global host arrays with (N, H) sharded over (data, spatial)."""
+    s = image_sharding(mesh)
+    out = tuple(jax.device_put(np.asarray(a), s) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -35,6 +35,15 @@ def parse_args(argv=None):
         help="fold BatchNorm into convs (speed path); compute dtype is then "
         "governed by XLA.BF16_INFERENCE (bf16 by default)",
     )
+    parser.add_argument(
+        "--spatial",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shard the image H dim over N devices (GSPMD spatial "
+        "partitioning, parallel/spatial.py) — for resolutions that exceed "
+        "one chip's HBM; 0 = single-device inference",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return parser.parse_args(argv)
 
@@ -75,6 +84,13 @@ def main(argv=None):
     )
     testloader = Loader(test_dataset, 1, shuffle=False, num_workers=0)
 
+    spatial_mesh = None
+    if args.spatial:
+        from pidnet_tpu.parallel.spatial import make_mesh_2d
+
+        spatial_mesh = make_mesh_2d(1, args.spatial)
+        logger.info("=> spatial partitioning: H dim over %d devices", args.spatial)
+
     # speed path: class-map inference (fused upsample+argmax, no full-res
     # logits); parity path: exp'd full-res probabilities like the reference
     make = engine.make_inference_classmap if args.fold_bn else engine.make_inference
@@ -87,6 +103,7 @@ def main(argv=None):
         compute_dtype=(
             jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
         ),
+        spatial_mesh=spatial_mesh,
     )
 
     if "test" in cfg.DATASET.TEST_SET and "city" in cfg.DATASET.DATASET:

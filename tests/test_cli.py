@@ -70,6 +70,13 @@ def test_train_eval_custom_cli(workspace):
     )
     assert any(f.endswith("_test.log") for f in os.listdir(out))
 
+    # spatial partitioning path: same eval with the image H dim sharded
+    # over 8 devices of the virtual CPU mesh (GSPMD halo exchange)
+    eval_tool.main(
+        ["--cfg", "tiny.yaml", "--spatial", "8",
+         "TEST.MODEL_FILE", f"{out}/best.msgpack"]
+    )
+
     os.makedirs("samples", exist_ok=True)
     img = np.zeros((128, 128, 3), np.uint8)
     cv2.imwrite("samples/a.png", img)

@@ -1,0 +1,205 @@
+"""Spatial partitioning (GSPMD H-dim sharding) — SURVEY §2.7's optional
+sequence-parallel analogue: conv halo exchange, BN/pool/OHEM global
+reductions all emitted by the SPMD partitioner, tested on the virtual
+8-CPU mesh against the unsharded program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pidnet_tpu.losses import FullLoss
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.parallel.spatial import (
+    make_mesh_2d,
+    make_spatial_infer,
+    make_spatial_train_step,
+    put_batch,
+)
+from pidnet_tpu.train import TrainState
+
+
+def _net(augment):
+    spec = M.spec_for("pidnet_s", 19, augment=augment)
+    params, state = M.init(jax.random.PRNGKey(7), spec)
+    return spec, params, state
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_spatial_infer_matches_unsharded(rng, mesh_shape):
+    spec, params, state = _net(augment=False)
+    x = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+
+    want = M.apply(params, state, jnp.asarray(x), spec, train=False)
+
+    mesh = make_mesh_2d(*mesh_shape)
+    fn = make_spatial_infer(spec, mesh)
+    got = fn(params, state, put_batch(mesh, x))
+
+    assert len(got) == len(want)
+    # The partitioner re-orders the reductions behind DAPPM global pooling
+    # and the H-contracting resize matmuls (partial sums + psum), so fp32
+    # logits differ by reduction-order noise; assert closeness plus
+    # near-exact class decisions on the segmentation head.
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-2, atol=2e-2
+        )
+    seg_g = np.argmax(np.asarray(got[0]), -1)
+    seg_w = np.argmax(np.asarray(want[0]), -1)
+    assert (seg_g == seg_w).mean() >= 0.998
+
+
+def test_spatial_infer_folded(rng):
+    from pidnet_tpu.convert import fold_params
+
+    spec, params, state = _net(augment=False)
+    folded = fold_params(params, state, spec)
+    x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+
+    want = M.apply(folded, {}, jnp.asarray(x), spec, folded=True)
+
+    mesh = make_mesh_2d(1, 8)
+    fn = make_spatial_infer(spec, mesh, folded=True)
+    got = fn(folded, {}, put_batch(mesh, x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-2, atol=2e-2
+        )
+
+
+def _one_step_both_meshes(loss_fn):
+    """Run one spatial train step on a (1,1) and a (2,4) mesh from the same
+    init; returns (params_h, [(ts, metrics), (ts, metrics)])."""
+    spec, params, state = _net(augment=True)
+
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (2, 128, 128)).astype(np.int32)
+    lab[0, :8] = 255
+    edge = (rng.random((2, 128, 128)) < 0.1).astype(np.float32)
+
+    # the step donates its TrainState; rebuild from host copies per mesh
+    params_h = jax.device_get(params)
+    state_h = jax.device_get(state)
+
+    results = []
+    for shape in [(1, 1), (2, 4)]:
+        mesh = make_mesh_2d(*shape)
+        step = make_spatial_train_step(spec, loss_fn, mesh, weight_decay=5e-4)
+        ts = TrainState.create(
+            {k: jnp.asarray(v) for k, v in params_h.items()},
+            {k: jnp.asarray(v) for k, v in state_h.items()},
+        )
+        ts, metrics = step(ts, *put_batch(mesh, img, lab, edge), 0.01)
+        results.append((jax.device_get(ts), jax.device_get(metrics)))
+    return params_h, results
+
+
+def test_spatial_train_step_matches_unsharded():
+    """One (2,4)-mesh dp×sp train step == the same global-batch program on
+    a trivial (1,1) mesh (global sync-BN + global OHEM on both — the
+    partitioner only changes layout). With OHEM on, the objective is
+    DISCRETE in the kept-pixel set: reduction-order fp noise flips a few
+    pixels across the top-k threshold (the same residual as the live-s2d
+    equivalence, docs/DESIGN.md). Each flipped pixel swaps its full CE
+    gradient in/out of the 500-pixel mean, so per-element params can move
+    ~1e-2·lr apart while the update DIRECTION stays identical — assert a
+    tight loss, an update-vector cosine ≈ 1, and a loose per-element
+    bound; the smooth-loss test below carries the exact-gradient check."""
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=500)
+    params_h, results = _one_step_both_meshes(loss_fn)
+
+    (ts_a, m_a), (ts_b, m_b) = results
+    assert np.isfinite(m_a["loss"]) and np.isfinite(m_b["loss"])
+    np.testing.assert_allclose(m_a["loss"], m_b["loss"], rtol=1e-4, atol=1e-5)
+    upd_a = np.concatenate(
+        [(ts_a.params[k] - params_h[k]).ravel() for k in sorted(ts_a.params)]
+    )
+    upd_b = np.concatenate(
+        [(ts_b.params[k] - params_h[k]).ravel() for k in sorted(ts_b.params)]
+    )
+    cos = np.dot(upd_a, upd_b) / (
+        np.linalg.norm(upd_a) * np.linalg.norm(upd_b)
+    )
+    assert cos > 0.995, f"update cosine {cos}"
+    for k in ts_a.params:
+        np.testing.assert_allclose(
+            ts_a.params[k], ts_b.params[k], atol=5e-2, err_msg=k
+        )
+    for k in ts_a.state:
+        np.testing.assert_allclose(
+            ts_a.state[k], ts_b.state[k], rtol=1e-2, atol=1e-4, err_msg=k
+        )
+
+
+def test_spatial_train_step_grads_smooth_loss():
+    """Same comparison with OHEM off (mostly-smooth objective; the
+    `sigmoid>0.8` sb mask is the only discrete part left). Per-element
+    fp32 agreement is still limited to ~1e-2·lr: BN batch variance is
+    computed as E[x²]−E[x]² in fp32, and the partitioner's psum-of-partial
+    -sums reordering perturbs that cancellation-prone difference by ~1e-4
+    relative, which a 30-conv net at random init (head logits reach ±300)
+    amplifies into ~1% gradient noise. Direction and loss pin the math:
+    cosine ≈ 1 and loss to 1e-5 relative."""
+    loss_fn = FullLoss(ignore_label=255, use_ohem=False)
+    params_h, results = _one_step_both_meshes(loss_fn)
+
+    (ts_a, m_a), (ts_b, m_b) = results
+    np.testing.assert_allclose(m_a["loss"], m_b["loss"], rtol=1e-4, atol=1e-5)
+    upd_a = np.concatenate(
+        [(ts_a.params[k] - params_h[k]).ravel() for k in sorted(ts_a.params)]
+    )
+    upd_b = np.concatenate(
+        [(ts_b.params[k] - params_h[k]).ravel() for k in sorted(ts_b.params)]
+    )
+    cos = np.dot(upd_a, upd_b) / (
+        np.linalg.norm(upd_a) * np.linalg.norm(upd_b)
+    )
+    assert cos > 0.995, f"update cosine {cos}"
+    for k in ts_a.params:
+        np.testing.assert_allclose(
+            ts_a.params[k], ts_b.params[k], atol=5e-2, err_msg=k
+        )
+
+
+def test_engine_inference_spatial_mesh(rng):
+    """engine.make_inference{,_classmap}(spatial_mesh=...) — the eval-CLI
+    `--spatial N` path — matches the single-device closures."""
+    import types
+
+    from pidnet_tpu import engine
+
+    cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(NUM_OUTPUTS=2, ALIGN_CORNERS=True),
+        TEST=types.SimpleNamespace(OUTPUT_INDEX=1),
+    )
+    spec, params, state = _net(augment=True)
+    x = jnp.asarray(rng.standard_normal((1, 64, 128, 3)).astype(np.float32))
+    mesh = make_mesh_2d(1, 8)
+
+    probs = np.asarray(engine.make_inference(cfg, spec, params, state)(x))
+    probs_sp = np.asarray(
+        engine.make_inference(cfg, spec, params, state, spatial_mesh=mesh)(x)
+    )
+    # exp() of random-init logits (reach ±300) saturates fp32 near the
+    # overflow boundary; clip so a finite-vs-inf flip at the edge doesn't
+    # mask the real check (tiny relative logit differences)
+    np.testing.assert_allclose(
+        np.clip(probs_sp, 0, 1e30), np.clip(probs, 0, 1e30), rtol=2e-2, atol=2e-2
+    )
+
+    classes = np.asarray(
+        engine.make_inference_classmap(cfg, spec, params, state)(x)
+    )
+    classes_sp = np.asarray(
+        engine.make_inference_classmap(cfg, spec, params, state, spatial_mesh=mesh)(x)
+    )
+    assert classes_sp.dtype == np.int32 and classes_sp.shape == classes.shape
+    assert (classes_sp == classes).mean() >= 0.998
+
+
+def test_mesh_2d_too_many_devices():
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh_2d(4, 4)
