@@ -147,6 +147,10 @@ def default_config() -> ConfigNode:
                 # cross-replica (sync) BatchNorm; False = per-shard like
                 # the reference's DataParallel (tools/train.py:136)
                 "SYNC_BN": False,
+                # pad each shard's train batch to a multiple of 8 with
+                # masked samples (TPU sublane alignment; numerics
+                # unchanged — train/step.py pad_batch docstring)
+                "PAD_BATCH": True,
                 "PROFILE_DIR": "",
             },
             "MODEL": {

@@ -80,6 +80,7 @@ class _ApplyOps:
         folded: bool,
         stem_s2d: bool = False,
         shard_hint=None,
+        sample_weight=None,
     ):
         self.params = params
         self.state = state
@@ -89,6 +90,7 @@ class _ApplyOps:
         self.folded = folded
         self.stem_s2d = stem_s2d
         self.shard_hint = shard_hint
+        self.sample_weight = sample_weight
         self.new_state: dict = {}
 
     def stem_front(self, x, spec):
@@ -186,6 +188,7 @@ class _ApplyOps:
                 groups=groups,
                 train=self.train,
                 axis_name=self.sync_axis,
+                sample_weight=self.sample_weight,
             )
             if self.train:
                 self.new_state[name + ".running_mean"] = nm
@@ -231,7 +234,10 @@ class _ApplyOps:
         rm = self.state[name + ".running_mean"]
         rv = self.state[name + ".running_var"]
         if self.train:
-            y, nm, nv = batch_norm_train(x, gamma, beta, rm, rv, axis_name=self.sync_axis)
+            y, nm, nv = batch_norm_train(
+                x, gamma, beta, rm, rv, axis_name=self.sync_axis,
+                sample_weight=self.sample_weight,
+            )
             self.new_state[name + ".running_mean"] = nm
             self.new_state[name + ".running_var"] = nv
             return y
@@ -662,6 +668,7 @@ def apply(
     folded: bool = False,
     stem_s2d: bool = False,
     shard_hint=None,
+    sample_weight=None,
 ):
     """Run the network on NHWC input.
 
@@ -674,6 +681,8 @@ def apply(
     math, much better MXU occupancy. With folded params the s2d kernels are
     prebuilt; otherwise they are derived live from the canonical weights
     (differentiable, checkpoint-compatible, grouped-BN statistics).
+    `sample_weight` (N,) in {0,1} excludes padding samples from training
+    BatchNorm statistics (train/step.py pad_batch).
     """
     ops = _ApplyOps(
         params,
@@ -684,6 +693,7 @@ def apply(
         folded=folded,
         stem_s2d=stem_s2d,
         shard_hint=shard_hint,
+        sample_weight=sample_weight,
     )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

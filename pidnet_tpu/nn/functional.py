@@ -81,6 +81,36 @@ def batch_norm_infer(
     return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+def _batch_stats(x, reduce_axes, sample_weight):
+    """fp32 (mean, mean_sq, count) over `reduce_axes` (axis 0 = samples).
+
+    With `sample_weight` (N,) in {0,1}, statistics are weighted per sample
+    — samples with weight 0 contribute NOTHING, so a batch padded to a
+    sublane boundary (train/step.py pad_batch) computes bit-for-math the
+    same statistics as the unpadded batch. The weight broadcast fuses into
+    the reductions; no extra activation-sized tensors are materialized.
+    """
+    if sample_weight is None:
+        n_static = 1
+        for a in reduce_axes:
+            n_static *= x.shape[a]
+        mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+        mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=reduce_axes)
+        return mean, mean_sq, jnp.float32(n_static)
+    w = sample_weight.astype(jnp.float32).reshape(
+        (-1,) + (1,) * (x.ndim - 1)
+    )
+    per_sample = 1
+    for a in reduce_axes:
+        if a != 0:
+            per_sample *= x.shape[a]
+    cnt = jnp.sum(sample_weight.astype(jnp.float32)) * per_sample
+    xf = x.astype(jnp.float32)
+    mean = jnp.sum(xf * w, axis=reduce_axes) / cnt
+    mean_sq = jnp.sum(lax.square(xf) * w, axis=reduce_axes) / cnt
+    return mean, mean_sq, cnt
+
+
 def batch_norm_train(
     x: jnp.ndarray,
     gamma: jnp.ndarray,
@@ -90,19 +120,21 @@ def batch_norm_train(
     *,
     momentum: float = BN_MOMENTUM,
     axis_name: str | None = None,
+    sample_weight: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Training-mode BN. Returns (y, new_running_mean, new_running_var).
 
     With `axis_name` set, batch statistics are averaged across that mesh
     axis (sync BN). Without it, statistics are per-shard — exactly the
     reference's per-replica DataParallel BN (tools/train.py:136).
+    `sample_weight` (N,) in {0,1} excludes padding samples from the
+    statistics (see _batch_stats); padded rows are still normalized (their
+    values are garbage, masked downstream in the loss).
     """
-    n = x.shape[0] * x.shape[1] * x.shape[2]
     # statistics always reduce in fp32 (preferred accumulation); the
     # normalization itself runs in the activation dtype so bf16 training
     # never materializes fp32 activation-sized intermediates
-    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
-    mean_sq = jnp.mean(lax.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+    mean, mean_sq, n = _batch_stats(x, (0, 1, 2), sample_weight)
     if axis_name is not None:
         mean = lax.pmean(mean, axis_name)
         mean_sq = lax.pmean(mean_sq, axis_name)
@@ -112,7 +144,7 @@ def batch_norm_train(
     shift = beta - mean * scale
     y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
     # torch stores the *unbiased* variance in running_var
-    unbiased = var * (n / max(n - 1, 1))
+    unbiased = var * (n / jnp.maximum(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased
     return y, new_mean, new_var
@@ -129,6 +161,7 @@ def batch_norm_grouped(
     train: bool,
     momentum: float = BN_MOMENTUM,
     axis_name: str | None = None,
+    sample_weight: jnp.ndarray | None = None,
 ):
     """BatchNorm over an s2d-layout tensor whose channels are
     (block_a, block_b, o) = groups x O, with parameters/stats per original
@@ -142,15 +175,13 @@ def batch_norm_grouped(
     o = c // groups
     xr = x.reshape(nb, hb, wb, groups, o)
     if train:
-        n = nb * hb * wb * groups
-        mean = jnp.mean(xr, axis=(0, 1, 2, 3), dtype=jnp.float32)
-        mean_sq = jnp.mean(lax.square(xr.astype(jnp.float32)), axis=(0, 1, 2, 3))
+        mean, mean_sq, n = _batch_stats(xr, (0, 1, 2, 3), sample_weight)
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)
             mean_sq = lax.pmean(mean_sq, axis_name)
             n = n * lax.psum(1, axis_name)
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
         new_mean = (1.0 - momentum) * running_mean + momentum * mean
         new_var = (1.0 - momentum) * running_var + momentum * unbiased
     else:

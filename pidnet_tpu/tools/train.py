@@ -168,6 +168,7 @@ def main(argv=None):
         nesterov=cfg.TRAIN.NESTEROV,
         sync_bn=cfg.XLA.SYNC_BN,
         compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
+        pad_batch=cfg.XLA.PAD_BATCH,
     )
     eval_step = make_eval_step(
         spec,
@@ -175,6 +176,7 @@ def main(argv=None):
         mesh,
         num_classes=cfg.DATASET.NUM_CLASSES,
         compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
+        pad_batch=cfg.XLA.PAD_BATCH,
     )
 
     ts = TrainState.create(params, state)

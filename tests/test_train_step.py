@@ -74,8 +74,12 @@ def test_dp_matches_single_device(setup, rng):
     lab8 = np.repeat(lab1, 8, 0)
     edge8 = np.repeat(edge1, 8, 0)
 
-    step8 = make_train_step(SPEC, loss_fn, mesh8)
-    step1 = make_train_step(SPEC, loss_fn, mesh1)
+    # pad_batch off: this test checks pure DP equivalence (per-shard N=1
+    # would otherwise pad to 8 on mesh8 but not on mesh1, and the
+    # mask-weighted BN stat expression differs at fp epsilon from the
+    # plain mean — covered by test_pad_batch_matches_unpadded instead)
+    step8 = make_train_step(SPEC, loss_fn, mesh8, pad_batch=False)
+    step1 = make_train_step(SPEC, loss_fn, mesh1, pad_batch=False)
     fresh = lambda: TrainState.create(  # noqa: E731 — step donates its input
         jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state)
     )
@@ -118,6 +122,51 @@ def test_s2d_front_matches_normal_train(setup, rng):
         )
 
 
+@pytest.mark.parametrize("use_ohem", [False, True])
+def test_pad_batch_matches_unpadded(setup, rng, use_ohem):
+    """pad_batch (shard batch 6 -> 8 with masked samples) is numerically
+    the SAME training step: padded samples are excluded from BN statistics
+    (mask-weighted stats) and every loss term, so loss/grads/BN state must
+    match the unpadded program. The weighted-stat expression (sum(x*w)/cnt
+    vs mean(x)) differs at fp epsilon, which the discrete OHEM keep-set
+    can amplify — so loss is tight, update direction ~exact, per-element
+    loose (the smooth case gets a tighter bound)."""
+    _, params, state, _ = setup
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=1000, use_ohem=use_ohem)
+    mesh1 = make_mesh(1)
+    img, lab, edge = _batch(rng, n=6)
+
+    out = {}
+    for pad in (False, True):
+        step = make_train_step(SPEC, loss_fn, mesh1, pad_batch=pad)
+        ts = TrainState.create(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state)
+        )
+        ts, m = step(ts, *shard_batch(mesh1, img, lab, edge), 0.01)
+        out[pad] = (float(m["loss"]), float(m["acc"]), jax.device_get(ts))
+    (l0, a0, ts0), (l1, a1, ts1) = out[False], out[True]
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    np.testing.assert_allclose(a1, a0, rtol=1e-6)
+    upd0 = np.concatenate(
+        [(ts0.params[k] - np.asarray(params[k])).ravel() for k in sorted(ts0.params)]
+    )
+    upd1 = np.concatenate(
+        [(ts1.params[k] - np.asarray(params[k])).ravel() for k in sorted(ts1.params)]
+    )
+    cos = np.dot(upd0, upd1) / (np.linalg.norm(upd0) * np.linalg.norm(upd1))
+    assert cos > 0.999, f"update cosine {cos}"
+    # even with OHEM off, the sb loss's sigmoid>0.8 mask is discrete and
+    # BN's fp-epsilon stat difference amplifies through 30 convs at random
+    # init (observed max 5e-4 smooth, ~2e-3 with OHEM keep-set flips)
+    atol = 5e-3 if use_ohem else 2e-3
+    for k in ts0.params:
+        np.testing.assert_allclose(ts1.params[k], ts0.params[k], atol=atol, err_msg=k)
+    for k in ts0.state:
+        np.testing.assert_allclose(
+            ts1.state[k], ts0.state[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
+
+
 def test_sgd_matches_torch(rng):
     """SGD(momentum, wd) update parity vs torch.optim.SGD."""
     import torch
@@ -145,6 +194,8 @@ def test_sgd_matches_torch(rng):
 
 def test_eval_step_confusion(setup, rng):
     mesh, params, state, loss_fn = setup
+    # per-shard N=1 -> the default pad_batch pads each shard to 8 masked
+    # rows; the count-exact CM assertions below prove the padding is inert
     step = make_eval_step(SPEC, loss_fn, mesh, num_classes=19)
     ts = TrainState.create(params, state)
     img, lab, edge = _batch(rng)
@@ -154,6 +205,14 @@ def test_eval_step_confusion(setup, rng):
     assert cms.shape == (2, 19, 19)
     n_valid = int((lab != 255).sum())
     assert int(cms[0].sum()) == n_valid == int(cms[1].sum())
+
+    # unpadded program: identical metrics and confusion matrices
+    step_np = make_eval_step(SPEC, loss_fn, mesh, num_classes=19, pad_batch=False)
+    metrics_np, cms_np = step_np(ts, *shard_batch(mesh, img, lab, edge, mask))
+    np.testing.assert_array_equal(np.asarray(cms_np), cms)
+    np.testing.assert_allclose(
+        float(metrics_np["loss"]), float(metrics["loss"]), rtol=1e-5
+    )
     from pidnet_tpu.metrics import acc_from_cm, iou_from_cm
 
     iou, miou = iou_from_cm(cms[1])
