@@ -35,9 +35,18 @@ def train_one_epoch(
     ts,
     mesh,
     writer_dict,
+    place_batch=None,
 ):
-    """One training epoch (reference utils/function.py:21-75)."""
+    """One training epoch (reference utils/function.py:21-75).
+
+    `place_batch(images, labels, edges)` puts a host batch onto devices;
+    default = `shard_batch(mesh, ...)` (1-D data mesh). The spatial
+    training path passes `parallel.spatial.put_batch` over its 2-D mesh.
+    """
     from pidnet_tpu.train import poly_lr
+
+    if place_batch is None:
+        place_batch = lambda *arrays: shard_batch(mesh, *arrays)  # noqa: E731
 
     batch_time = AverageMeter()
     ave_loss = AverageMeter()
@@ -55,7 +64,7 @@ def train_one_epoch(
         # the very first step — while the log line prints poly(g).
         g = i_iter + cur_iters
         lr = poly_lr(base_lr, num_iters, max(0, g - 1))
-        batch = shard_batch(mesh, images, labels.astype(np.int32), edges)
+        batch = place_batch(images, labels.astype(np.int32), edges)
         ts, metrics = step_fn(ts, *batch, lr)
         lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 

@@ -41,6 +41,17 @@ def parse_args(argv=None):
         help="call jax.distributed.initialize() for multi-host TPU slices; "
         "the same mesh program then spans hosts over DCN",
     )
+    parser.add_argument(
+        "--spatial",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also shard the image H dim over N devices per data shard "
+        "(GSPMD spatial partitioning, parallel/spatial.py) — for crops "
+        "that exceed one chip's HBM. Semantics are global-batch (sync-BN "
+        "+ global OHEM; spatial shards of one image must share "
+        "statistics). 0 = pure data parallelism",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return parser.parse_args(argv)
 
@@ -87,13 +98,31 @@ def main(argv=None):
         n_dev, n_proc, is_primary,
     )
 
+    spatial_mesh = None
+    n_data = n_dev  # data shards (= devices unless --spatial divides them)
+    if args.spatial:
+        from pidnet_tpu.parallel.spatial import make_mesh_2d
+
+        if n_proc > 1:
+            raise RuntimeError("--spatial training is single-process for now")
+        if n_dev % args.spatial != 0:
+            raise RuntimeError(
+                f"--spatial {args.spatial} must divide the mesh size {n_dev}"
+            )
+        n_data = n_dev // args.spatial
+        spatial_mesh = make_mesh_2d(n_data, args.spatial)
+        logger.info(
+            "spatial partitioning: (%d data, %d spatial) mesh, H dim sharded",
+            n_data, args.spatial,
+        )
+
     spec = common.build_spec(cfg, augment=True)
     params, state = common.init_model(cfg, spec, seed=args.seed)
     params, state = common.maybe_load_pretrained(cfg, params, state)
 
-    # global batch = per-device x mesh size (reference tools/train.py:82,152);
-    # each process loads its rank-strided 1/n_proc of it
-    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    # global batch = per-device x data-shard count (reference
+    # tools/train.py:82,152); each process loads its rank-strided 1/n_proc
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_data
     local_batch = batch_size // n_proc
     crop_size = (cfg.TRAIN.IMAGE_SIZE[1], cfg.TRAIN.IMAGE_SIZE[0])
     train_dataset = build_dataset(
@@ -159,17 +188,34 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    train_step = make_train_step(
-        spec,
-        loss_fn,
-        mesh,
-        momentum=cfg.TRAIN.MOMENTUM,
-        weight_decay=cfg.TRAIN.WD,
-        nesterov=cfg.TRAIN.NESTEROV,
-        sync_bn=cfg.XLA.SYNC_BN,
-        compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
-        pad_batch=cfg.XLA.PAD_BATCH,
-    )
+    place_batch = None
+    if spatial_mesh is not None:
+        from functools import partial
+
+        from pidnet_tpu.parallel.spatial import make_spatial_train_step, put_batch
+
+        train_step = make_spatial_train_step(
+            spec,
+            loss_fn,
+            spatial_mesh,
+            momentum=cfg.TRAIN.MOMENTUM,
+            weight_decay=cfg.TRAIN.WD,
+            nesterov=cfg.TRAIN.NESTEROV,
+            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
+        )
+        place_batch = partial(put_batch, spatial_mesh)
+    else:
+        train_step = make_train_step(
+            spec,
+            loss_fn,
+            mesh,
+            momentum=cfg.TRAIN.MOMENTUM,
+            weight_decay=cfg.TRAIN.WD,
+            nesterov=cfg.TRAIN.NESTEROV,
+            sync_bn=cfg.XLA.SYNC_BN,
+            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
+            pad_batch=cfg.XLA.PAD_BATCH,
+        )
     eval_step = make_eval_step(
         spec,
         loss_fn,
@@ -210,6 +256,7 @@ def main(argv=None):
         ts = engine.train_one_epoch(
             cfg, epoch, epoch_iters, num_iters, cfg.TRAIN.LR,
             trainloader, train_step, ts, mesh, writer_dict,
+            place_batch=place_batch,
         )
 
         if (

@@ -77,6 +77,11 @@ def test_train_eval_custom_cli(workspace):
          "TEST.MODEL_FILE", f"{out}/best.msgpack"]
     )
 
+    # spatial TRAINING path: one epoch on a (1 data, 2 spatial) mesh
+    # (global-batch sync-BN/OHEM semantics, parallel/spatial.py)
+    train.main(["--cfg", "tiny.yaml", "--spatial", "2"])
+    assert os.path.isfile(f"{out}/final_state.msgpack")
+
     os.makedirs("samples", exist_ok=True)
     img = np.zeros((128, 128, 3), np.uint8)
     cv2.imwrite("samples/a.png", img)
