@@ -30,7 +30,52 @@ def parse_args(argv=None):
     parser.add_argument("--r", type=int, nargs=2, default=[1024, 2048], help="H W")
     parser.add_argument("--no-fold", action="store_true", help="keep BN (fp32 path)")
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument(
+        "--train",
+        action="store_true",
+        help="benchmark the TRAINING step (bf16, device-resident synthetic "
+        "batch, one-chip data mesh) instead of inference; reports ms/step "
+        "and img/s. --batch is the per-shard batch (reference recipe: 6)",
+    )
     return parser.parse_args(argv)
+
+
+def measure_train(arch: str, num_classes: int, hw, batch: int) -> tuple[float, float]:
+    """(ms/step, img/s) for the bf16 training step on a 1-device mesh —
+    the configuration behind the README training table."""
+    import time
+
+    import numpy as np
+
+    from pidnet_tpu.losses import FullLoss
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.parallel import make_mesh, shard_batch
+    from pidnet_tpu.train import TrainState, make_train_step
+
+    h, w = hw
+    mesh = make_mesh(1)
+    spec = M.spec_for(arch, num_classes, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=max(1, 131072 * batch // 6))
+    step = make_train_step(spec, loss_fn, mesh, compute_dtype=jnp.bfloat16)
+    ts = TrainState.create(params, state)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((batch, h, w, 3)).astype(np.float32)
+    lab = rng.integers(0, num_classes, (batch, h, w)).astype(np.int32)
+    edge = (rng.random((batch, h, w)) < 0.1).astype(np.float32)
+    placed = shard_batch(mesh, img, lab, edge)
+
+    for _ in range(5):  # warmup = compile + cache settle
+        ts, metrics = step(ts, *placed, 0.01)
+        _ = float(metrics["loss"])  # scalar pull = reliable device sync
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ts, metrics = step(ts, *placed, 0.01)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n
+    return dt * 1000.0, batch / dt
 
 
 def measure_fps(fn, x, *, warmup: int = 10) -> tuple[float, float]:
@@ -65,6 +110,11 @@ def measure_fps(fn, x, *, warmup: int = 10) -> tuple[float, float]:
 def main(argv=None):
     args = parse_args(argv)
     h, w = args.r
+    if args.train:
+        print("=========Train-Step Speed Testing=========")
+        ms, imgs = measure_train(args.a, args.c, (h, w), args.batch)
+        print(f"{args.a} {h}x{w} batch={args.batch}: {ms:.2f} ms/step, {imgs:.1f} img/s")
+        return imgs
     spec = M.spec_for(args.a, args.c, augment=False)
     params, state = M.init(jax.random.PRNGKey(0), spec)
 
