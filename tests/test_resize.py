@@ -37,6 +37,31 @@ def test_matches_torch(align_corners, in_hw, out_hw, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_matches_torch_fuzz(rng):
+    """Randomized size sweep (both modes) — guards the source-index math
+    (ops/resize._interp_matrix) against edge cases the fixed list misses."""
+    for i in range(25):
+        ih, iw = (int(v) for v in rng.integers(1, 70, 2))
+        oh, ow = (int(v) for v in rng.integers(1, 100, 2))
+        align = bool(i % 2)
+        x = rng.standard_normal((1, ih, iw, 3), dtype=np.float32)
+        got = np.asarray(resize_bilinear(x, (oh, ow), align))
+        want = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                size=(oh, ow),
+                mode="bilinear",
+                align_corners=align,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-5,
+            err_msg=f"({ih},{iw})->({oh},{ow}) align={align}",
+        )
+
+
 def test_bf16_passthrough(rng):
     import jax.numpy as jnp
 
