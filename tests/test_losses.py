@@ -168,3 +168,30 @@ def test_full_loss_composition(rng):
     got, metrics = fl(outs, labels, edge)
     assert abs(float(got) - want) < 2e-4, (float(got), want)
     assert 0.0 <= float(metrics["acc"]) <= 1.0
+
+
+def test_kth_smallest_fuzz(rng):
+    """The 32-step bit-bisection k-th-smallest (criterion._kth_smallest,
+    the sort-free OHEM threshold) must equal np.partition exactly on
+    adversarial non-negative inputs: duplicates, zeros, subnormals, infs,
+    and k at both ends."""
+    import jax.numpy as jnp
+
+    from pidnet_tpu.losses.criterion import _kth_smallest
+
+    cases = []
+    for _ in range(10):
+        n = int(rng.integers(1, 5000))
+        scale = rng.choice([1e-38, 1.0, 1e30])
+        cases.append((rng.random(n) * scale).astype(np.float32))
+    cases.append(np.zeros(100, np.float32))
+    cases.append(np.full(64, 0.5, np.float32))  # all duplicates
+    cases.append(np.float32([np.inf, 0.0, 1.0, np.inf]))
+    cases.append(np.concatenate([np.zeros(10, np.float32),
+                                 np.full(10, np.float32(2.0))]))
+    for x in cases:
+        for k in {0, len(x) // 2, len(x) - 1}:
+            got = float(_kth_smallest(jnp.asarray(x), k))
+            want = float(np.partition(x, k)[k])
+            assert got == want or (np.isnan(got) and np.isnan(want)), (
+                len(x), k, got, want)
