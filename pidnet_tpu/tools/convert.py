@@ -1,0 +1,91 @@
+"""Checkpoint conversion CLI — the one-shot workflow glue around
+convert/torch_weights.py and convert/fold.py.
+
+The train/eval/custom tools already load torch checkpoints directly
+(tools/common.load_weights handles the reference's two layouts,
+models/pidnet.py:193-214), so conversion is never REQUIRED — this tool
+exists for deployment workflows:
+
+    # torch .pt/.pth.tar -> native .msgpack (faster loads, no torch dep)
+    python -m pidnet_tpu.tools.convert --a pidnet-s --c 19 \
+        PIDNet_S_Cityscapes_test.pt out/pidnet_s.msgpack
+
+    # fold BatchNorm into conv weights while converting (speed path;
+    # the automated equivalent of the reference's BN-free model copies,
+    # models/speed/pidnet_speed.py:230-271)
+    python -m pidnet_tpu.tools.convert --a pidnet-s --c 19 --fold \
+        best.msgpack out/pidnet_s_folded.msgpack
+
+    # native .msgpack -> torch-layout .pt (FullModel `model.` prefix,
+    # OIHW conv weights) loadable by the reference's get_seg_model
+    python -m pidnet_tpu.tools.convert --a pidnet-s --c 19 --export \
+        best.msgpack out/pidnet_s.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Convert checkpoints")
+    parser.add_argument("src", help="input .pt/.pth[.tar]/.msgpack")
+    parser.add_argument("dst", help="output path (.msgpack, or .pt with --export)")
+    parser.add_argument("--a", default="pidnet-s", help="pidnet-s, pidnet-m or pidnet-l")
+    parser.add_argument("--c", type=int, default=19, help="number of classes")
+    parser.add_argument(
+        "--no-augment",
+        action="store_true",
+        help="single-output (inference-only) parameter set, no aux heads",
+    )
+    parser.add_argument(
+        "--fold",
+        action="store_true",
+        help="fold BatchNorm into conv weights (inference-only output)",
+    )
+    parser.add_argument(
+        "--export",
+        action="store_true",
+        help="write a torch-layout state_dict .pt instead of .msgpack",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.tools import common
+    from pidnet_tpu.train import checkpoint as ckpt
+
+    spec = M.spec_for(args.a, args.c, augment=not args.no_augment)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    params, state, n_loaded = common.load_weights(args.src, params, state)
+    print(f"loaded {n_loaded} tensors from {args.src}")
+
+    os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
+    if args.export:
+        if args.fold:
+            raise SystemExit("--export writes unfolded torch layout; drop --fold")
+        import torch
+
+        from pidnet_tpu.convert import export_state_dict
+
+        sd = {k: torch.from_numpy(v) for k, v in export_state_dict(params, state).items()}
+        torch.save(sd, args.dst)
+        print(f"wrote torch state_dict ({len(sd)} tensors) to {args.dst}")
+        return
+
+    if args.fold:
+        from pidnet_tpu.convert import fold_params
+
+        params, state = fold_params(params, state, spec), {}
+    ckpt.save_model(args.dst, params, state)
+    kind = "folded " if args.fold else ""
+    print(f"wrote {kind}model ({len(params)} params) to {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,3 +49,39 @@ def test_pt_with_model_prefix_and_shape_filter(tmp_path):
     np.testing.assert_allclose(
         np.asarray(p["final_layer.conv2.bias"]), np.asarray(p0["final_layer.conv2.bias"])
     )
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """tools/convert.py: torch .pt -> native .msgpack, --fold, and --export
+    back to torch layout, all preserving the weights."""
+    from pidnet_tpu.tools import convert as convert_tool
+    from pidnet_tpu.train.checkpoint import load_model
+
+    params, state = M.init(jax.random.PRNGKey(0), SPEC)
+    src = str(tmp_path / "ft.pt")
+    torch.save(_torch_style_sd(params, state, prefix="model."), src)
+
+    # torch -> native
+    dst = str(tmp_path / "native.msgpack")
+    convert_tool.main(["--a", "pidnet-s", "--c", "11", src, dst])
+    p2, s2 = load_model(dst)
+    np.testing.assert_allclose(
+        np.asarray(p2["conv1.0.weight"]), np.asarray(params["conv1.0.weight"])
+    )
+    assert set(s2) == set(state)
+
+    # torch -> folded native (BN-free inference params)
+    fdst = str(tmp_path / "folded.msgpack")
+    convert_tool.main(["--a", "pidnet-s", "--c", "11", "--fold", src, fdst])
+    pf, sf = load_model(fdst)
+    assert sf == {} and any(k.endswith(".scale") or k.endswith(".bias") for k in pf)
+
+    # native -> torch layout (reference get_seg_model-compatible keys)
+    tdst = str(tmp_path / "export.pt")
+    convert_tool.main(["--a", "pidnet-s", "--c", "11", "--export", dst, tdst])
+    sd = torch.load(tdst, weights_only=True)
+    assert all(k.startswith("model.") for k in sd)
+    w = sd["model.conv1.0.weight"].numpy()  # OIHW
+    np.testing.assert_allclose(
+        np.transpose(w, (2, 3, 1, 0)), np.asarray(params["conv1.0.weight"])
+    )
