@@ -220,35 +220,36 @@ def make_inference_classmap(
     (N,H,W) int32. Argmax-equivalent to `make_inference` (exp() is
     monotonic, reference base_dataset.py:150) while never materializing
     or transferring full-resolution 19-channel logits — the speed path
-    for testval/test/custom. Under a spatial mesh the XLA resize+argmax
-    pair is used instead of the Pallas kernel (an opaque custom call the
-    SPMD partitioner could not shard)."""
+    for testval/test/custom. Under a spatial mesh the Pallas kernel is
+    disabled via ops.pallas_gate (an opaque custom call the SPMD
+    partitioner could not shard) and the XLA resize+argmax pair runs."""
+    import contextlib
     from functools import partial
 
     from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.ops.pallas_gate import no_pallas
     from pidnet_tpu.ops.upsample_argmax import upsample_argmax
 
     hint, jit_opts = _spatial_jit_opts(spatial_mesh)
+    gate = no_pallas if spatial_mesh is not None else contextlib.nullcontext
 
     @partial(jax.jit, **jit_opts)
     def _infer(params, state, x):
-        out = M.apply(
-            params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded, shard_hint=hint,
-        )
-        if isinstance(out, (list, tuple)):
-            if cfg.MODEL.NUM_OUTPUTS > 1:
-                out = out[cfg.TEST.OUTPUT_INDEX]
-            else:
-                raise ValueError(
-                    "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
-                )
-        if spatial_mesh is not None:
-            up = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
-            return jnp.argmax(up, axis=-1).astype(jnp.int32)
-        return upsample_argmax(
-            out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
-        )
+        with gate():
+            out = M.apply(
+                params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
+                stem_s2d=folded, shard_hint=hint,
+            )
+            if isinstance(out, (list, tuple)):
+                if cfg.MODEL.NUM_OUTPUTS > 1:
+                    out = out[cfg.TEST.OUTPUT_INDEX]
+                else:
+                    raise ValueError(
+                        "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
+                    )
+            return upsample_argmax(
+                out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
+            )
 
     def infer(x):
         return _infer(params, state, x)

@@ -231,6 +231,8 @@ def ce_maps(
         if class_weights is None
         else np.asarray(class_weights, np.float32)
     )
+    from pidnet_tpu.ops.pallas_gate import pallas_enabled
+
     on_tpu = jax.default_backend() == "tpu"
     if (
         logits.dtype == jnp.bfloat16
@@ -238,6 +240,7 @@ def ce_maps(
         and logits.shape[1:3] != (oh, ow)
         and _tileable(logits, (oh, ow))
         and (on_tpu or interpret)
+        and pallas_enabled()
     ):
         return _ce_front_pallas(
             logits, labels, tuple(float(x) for x in cw), int(ignore_label),

@@ -85,6 +85,8 @@ def upsample_argmax(
     Uses the fused Pallas kernel on TPU (or under `interpret=True` for
     tests); falls back to the XLA resize+argmax pair elsewhere or for
     shapes the kernel doesn't tile."""
+    from pidnet_tpu.ops.pallas_gate import pallas_enabled
+
     n, h, w, c = logits.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     th = _row_tile(oh, cap=64)
@@ -96,6 +98,7 @@ def upsample_argmax(
         or th == 0
         or scratch_mb > 11
         or (not on_tpu and not interpret)
+        or not pallas_enabled()
     ):
         return _xla_upsample_argmax(logits, out_hw, align_corners)
 

@@ -33,6 +33,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pidnet_tpu.ops.pallas_gate import no_pallas
 from pidnet_tpu.parallel.mesh import DATA_AXIS
 
 SPATIAL_AXIS = "spatial"
@@ -104,20 +105,26 @@ def make_spatial_infer(
 
     @partial(jax.jit, in_shardings=(rep, rep, img_s))
     def fn(params, state, x):
-        outs = M.apply(
-            params,
-            state,
-            x,
-            spec,
-            train=False,
-            folded=folded,
-            compute_dtype=compute_dtype,
-            stem_s2d=stem_s2d,
-            shard_hint=hint,
-        )
+        with no_pallas():  # opaque custom calls can't be SPMD-partitioned
+            outs = M.apply(
+                params,
+                state,
+                x,
+                spec,
+                train=False,
+                folded=folded,
+                compute_dtype=compute_dtype,
+                stem_s2d=stem_s2d,
+                shard_hint=hint,
+            )
         # Keep heads in the input layout; downstream (resize/argmax) stays
-        # spatially sharded too.
-        return [jax.lax.with_sharding_constraint(o, img_s) for o in outs]
+        # spatially sharded too. augment=False specs return ONE head array,
+        # not a list — constrain it directly (iterating it would walk the
+        # batch dim and pin H/W to the wrong mesh axes).
+        constrain = lambda o: jax.lax.with_sharding_constraint(o, img_s)
+        if isinstance(outs, (list, tuple)):
+            return [constrain(o) for o in outs]
+        return constrain(outs)
 
     return fn
 
@@ -149,17 +156,21 @@ def make_spatial_train_step(
     hint = spp_hint(mesh)
 
     def loss_of(params, state, images, labels, edges):
-        outputs, new_state = M.apply(
-            params,
-            state,
-            images,
-            spec,
-            train=True,
-            compute_dtype=compute_dtype,
-            stem_s2d=stem_s2d,
-            shard_hint=hint,
-        )
-        loss, metrics = loss_fn(outputs, labels, edges)
+        # Pallas kernels (ce_front, upsample_argmax inside FullLoss) are
+        # opaque custom calls the SPMD partitioner cannot shard — trace
+        # the XLA formulations instead (ops/pallas_gate.py)
+        with no_pallas():
+            outputs, new_state = M.apply(
+                params,
+                state,
+                images,
+                spec,
+                train=True,
+                compute_dtype=compute_dtype,
+                stem_s2d=stem_s2d,
+                shard_hint=hint,
+            )
+            loss, metrics = loss_fn(outputs, labels, edges)
         return loss, (new_state, metrics)
 
     @partial(

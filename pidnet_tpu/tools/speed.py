@@ -114,7 +114,7 @@ def main(argv=None):
         print("=========Train-Step Speed Testing=========")
         ms, imgs = measure_train(args.a, args.c, (h, w), args.batch)
         print(f"{args.a} {h}x{w} batch={args.batch}: {ms:.2f} ms/step, {imgs:.1f} img/s")
-        return imgs
+        return  # None: the console-script wrapper calls sys.exit(main())
     spec = M.spec_for(args.a, args.c, augment=False)
     params, state = M.init(jax.random.PRNGKey(0), spec)
 
@@ -135,7 +135,6 @@ def main(argv=None):
     print("=========Speed Testing=========")
     latency, fps = measure_fps(fn, x)
     print(f"{args.a} {h}x{w} batch={args.batch}: {latency:.3f} ms, {fps * args.batch:.1f} FPS")
-    return fps * args.batch
 
 
 if __name__ == "__main__":

@@ -194,9 +194,24 @@ def main(argv=None):
 
         from pidnet_tpu.parallel.spatial import make_spatial_train_step, put_batch
 
+        # the spatial step is ONE global program (global OHEM pool), not a
+        # per-shard criterion: scale the per-replica OHEMKEEP budget by the
+        # data-shard count so each image keeps the same number of hard
+        # pixels as the DP/reference per-replica criterion
+        spatial_loss_fn = FullLoss(
+            num_outputs=cfg.MODEL.NUM_OUTPUTS,
+            align_corners=cfg.MODEL.ALIGN_CORNERS,
+            ignore_label=cfg.TRAIN.IGNORE_LABEL,
+            class_weights=train_dataset.class_weights,
+            use_ohem=cfg.LOSS.USE_OHEM,
+            ohem_thres=cfg.LOSS.OHEMTHRES,
+            ohem_kept=cfg.LOSS.OHEMKEEP * n_data,
+            balance_weights=cfg.LOSS.BALANCE_WEIGHTS,
+            sb_weights=cfg.LOSS.SB_WEIGHTS,
+        )
         train_step = make_spatial_train_step(
             spec,
-            loss_fn,
+            spatial_loss_fn,
             spatial_mesh,
             momentum=cfg.TRAIN.MOMENTUM,
             weight_decay=cfg.TRAIN.WD,

@@ -44,6 +44,22 @@ class TrainState:
         return TrainState(params=params, state=state, momentum=zeros)
 
 
+def _pad_to_sublanes(images, labels, edges, sample_mask=None):
+    """Pad a shard batch to the next multiple of 8 rows with duplicates of
+    row 0 (see make_train_step's pad_batch docstring). Returns
+    (images, labels, edges, mask); mask stays None only when nothing was
+    padded and none was given."""
+    n_real = images.shape[0]
+    if n_real % 8 == 0:
+        return images, labels, edges, sample_mask
+    k = 8 - n_real % 8
+    rep = lambda a: jnp.concatenate([a, a[:1].repeat(k, axis=0)])  # noqa: E731
+    if sample_mask is None:
+        sample_mask = jnp.ones((n_real,), jnp.float32)
+    mask = jnp.concatenate([sample_mask, jnp.zeros((k,), sample_mask.dtype)])
+    return rep(images), rep(labels), rep(edges), mask
+
+
 def _sgd(params, grads, bufs, lr, momentum, weight_decay, nesterov):
     new_params, new_bufs = {}, {}
     for k, p in params.items():
@@ -90,14 +106,10 @@ def make_train_step(
     n_shards = mesh.shape[DATA_AXIS]
 
     def shard_loss(params, state, images, labels, edges):
-        n_real = images.shape[0]
         sample_weight = None
-        if pad_batch and n_real % 8 != 0:
-            k = 8 - n_real % 8
-            rep = lambda a: jnp.concatenate([a, a[:1].repeat(k, axis=0)])
-            images, labels, edges = rep(images), rep(labels), rep(edges)
-            sample_weight = (jnp.arange(n_real + k) < n_real).astype(
-                jnp.float32
+        if pad_batch:
+            images, labels, edges, sample_weight = _pad_to_sublanes(
+                images, labels, edges
             )
 
         def loss_of(p):
@@ -179,13 +191,9 @@ def make_eval_step(
         # eval-mode BN uses running stats, so only the mask machinery is
         # needed — padded rows get mask 0 like engine.validate's partial-
         # batch padding
-        n_real = images.shape[0]
-        if pad_batch and n_real % 8 != 0:
-            k = 8 - n_real % 8
-            rep = lambda a: jnp.concatenate([a, a[:1].repeat(k, axis=0)])
-            images, labels, edges = rep(images), rep(labels), rep(edges)
-            sample_mask = jnp.concatenate(
-                [sample_mask, jnp.zeros((k,), sample_mask.dtype)]
+        if pad_batch:
+            images, labels, edges, sample_mask = _pad_to_sublanes(
+                images, labels, edges, sample_mask
             )
         outputs = M.apply(
             params, state, images, spec, train=False, compute_dtype=compute_dtype,

@@ -78,7 +78,9 @@ def test_train_eval_custom_cli(workspace):
     )
 
     # spatial TRAINING path: one epoch on a (1 data, 2 spatial) mesh
-    # (global-batch sync-BN/OHEM semantics, parallel/spatial.py)
+    # (global-batch sync-BN/OHEM semantics, parallel/spatial.py); remove
+    # the artifact first so the assertion checks THIS run's checkpoint
+    os.remove(f"{out}/final_state.msgpack")
     train.main(["--cfg", "tiny.yaml", "--spatial", "2"])
     assert os.path.isfile(f"{out}/final_state.msgpack")
 

@@ -48,7 +48,7 @@ def test_spatial_infer_matches_unsharded(rng, mesh_shape):
         )
     seg_g = np.argmax(np.asarray(got[0]), -1)
     seg_w = np.argmax(np.asarray(want[0]), -1)
-    assert (seg_g == seg_w).mean() >= 0.998
+    assert (seg_g == seg_w).mean() >= 0.995
 
 
 def test_spatial_infer_folded(rng):
@@ -197,7 +197,7 @@ def test_engine_inference_spatial_mesh(rng):
         engine.make_inference_classmap(cfg, spec, params, state, spatial_mesh=mesh)(x)
     )
     assert classes_sp.dtype == np.int32 and classes_sp.shape == classes.shape
-    assert (classes_sp == classes).mean() >= 0.998
+    assert (classes_sp == classes).mean() >= 0.995
 
 
 def test_mesh_2d_too_many_devices():
