@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -113,9 +114,13 @@ def train_one_epoch(
     return ts
 
 
-def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2):
+def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2,
+             place_batch=None):
     """Loss + per-output confusion matrices (reference utils/function.py:77-128).
-    Returns (ave_loss, mean_IoU of the last output, its IoU array)."""
+    Returns (ave_loss, mean_IoU of the last output, its IoU array).
+    `place_batch` overrides the default 1-D-mesh batch placement (the
+    --spatial path passes parallel.spatial.put_batch so each sample's H
+    spans the spatial axis and eval_step is the spatial GSPMD step)."""
     ave_loss = AverageMeter()
     num_classes = cfg.DATASET.NUM_CLASSES
     cms = np.zeros((num_outputs, num_classes, num_classes), np.float64)
@@ -134,7 +139,8 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
             )
             edges = np.concatenate([edges, np.zeros((pad, *edges.shape[1:]), edges.dtype)])
         mask = (np.arange(batch_size) < n_real).astype(np.float32)
-        batch = shard_batch(mesh, images, labels.astype(np.int32), edges, mask)
+        place = place_batch if place_batch is not None else partial(shard_batch, mesh)
+        batch = place(images, labels.astype(np.int32), edges, mask)
         metrics, batch_cms = eval_step(ts, *batch)
         cms += np.asarray(batch_cms, np.float64)
         # weight by real-sample count so the padded final batch doesn't

@@ -11,12 +11,22 @@ low-res logits, entirely in VMEM:
 
   forward:  nll[y,x] = logsumexp_c(z) - z[label],  w[y,x] = cw[label]·valid
             where z = (A @ L @ Bᵀ)[y,x,:] is the bilinearly upsampled
-            logit vector; per image the W-interp of all class planes is
-            computed once into a VMEM scratch, then each row-tile is one
-            wide H-interp matmul
+            logit vector; per (image, column-tile) the W-interp of all
+            class planes is computed once into a VMEM scratch, then each
+            row-tile is one wide H-interp matmul
   backward: dL = Aᵀ · (g ⊙ (softmax(z) - onehot(label))) · B, recomputing
             z tile-by-tile (flash-style: nothing full-res ever hits HBM),
-            accumulated in the output block across row-tiles
+            accumulated in the output block across row/column tiles
+
+The output width is tiled (grid dim 1) so the per-step scoped-VMEM
+footprint stays bounded at any crop — the untiled round-2 kernel was
+*selected* at W=2048 and then failed Mosaic compilation with a 19.76 MiB
+scoped-vmem request against the 16 MiB limit. `_plan` now bounds the
+TOTAL footprint (operand/output blocks with pipeline double-buffering,
+scratch, and the kernel's live f32 temporaries) and picks the widest
+column tile that fits; widths that are not lane multiples (CamVid 960)
+are zero-padded to the next multiple of 128 with masked columns
+contributing exact zeros to both outputs and the gradient.
 
 Used on the bf16 training path (compute_dtype=bfloat16 on TPU); the fp32
 parity path keeps the exact XLA route. Matmuls run bf16 with fp32
@@ -36,35 +46,92 @@ from jax.experimental.pallas import tpu as pltpu
 from pidnet_tpu.ops.resize import _interp_matrix
 from pidnet_tpu.ops.upsample_argmax import _row_tile
 
+# Scoped-VMEM budget per grid step. The hardware limit is 16 MiB
+# (--xla_tpu_scoped_vmem_limit_kib is not tunable through the axon
+# client); 12 MiB leaves headroom for Mosaic-internal buffers beyond the
+# _footprint model, which reproduced the observed 19.76 MiB failure at
+# (128,256,19)->(1024,2048) to within ~2%.
+_VMEM_BUDGET = 12 * 2**20
 
-def _fill_lw(l_ref, bt_ref, lw_ref, C: int, OW: int):
-    """W-interp every class plane into the VMEM scratch (once per image)."""
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _footprint(h: int, w: int, c: int, th: int, tw: int, *, bwd: bool) -> int:
+    """Model of the kernel's scoped-VMEM bytes for one grid step.
+
+    Blocks streamed by the Pallas pipeline are double-buffered (×2);
+    scratch and revisited accumulator blocks are single instances. Lane
+    (last dim → ×128) and sublane (second-to-last → ×8, ×16 for bf16)
+    padding is applied as Mosaic would.
+    """
+    wp, hp = _pad128(w), _pad8(h)
+    a = th * _pad128(h) * 2
+    l = c * _pad8(h) * wp * 2  # noqa: E741
+    bt = _pad8(w) * tw * 2
+    lab = th * tw * 4
+    scratch = _pad8(h) * c * tw * 2
+    v = th * c * tw * 4  # the H-interp matmul result, live in f32
+    ew = 4 * th * tw * 4  # m/s/z-or-p temporaries
+    total = 2 * (a + l + bt + lab) + scratch + v + ew
+    if bwd:
+        b = tw * wp * 2
+        g = th * tw * 4
+        dl = c * hp * wp * 4  # revisited accumulator block, single copy
+        tmp = th * tw * 2 + th * wp * 4 + hp * wp * 4  # dz, t1, t2
+        total += 2 * (b + g) + dl + tmp
+    else:
+        total += 2 * 2 * th * tw * 4  # nll + w output blocks
+    return total
+
+
+def _plan(h: int, w: int, c: int, oh: int, ow: int, *, bwd: bool):
+    """Pick (th, tw, ow_pad) so the kernel fits scoped VMEM, else None."""
+    th = _row_tile(oh, cap=32)
+    if th == 0:
+        return None
+    ow_pad = _pad128(ow)
+    tws = [t for t in range(128, ow_pad + 1, 128) if ow_pad % t == 0]
+    for tw in sorted(tws, reverse=True):
+        if _footprint(h, w, c, th, tw, bwd=bwd) <= _VMEM_BUDGET:
+            return th, tw, ow_pad
+    return None
+
+
+def _fill_lw(l_ref, bt_ref, lw_ref, C: int, TW: int):
+    """W-interp every class plane into the VMEM scratch, for this image's
+    current column tile (once per (image, column-tile))."""
     for c in range(C):
-        lw_ref[:, c * OW : (c + 1) * OW] = jnp.dot(
+        lw_ref[:, c * TW : (c + 1) * TW] = jnp.dot(
             l_ref[0, c], bt_ref[:], preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
 
 def _fwd_kernel(a_ref, l_ref, bt_ref, lab_ref, nll_ref, w_ref, lw_ref, *,
-                cw: tuple, OW: int, ignore: int):
+                cw: tuple, TW: int, ignore: int):
     C = len(cw)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
-        _fill_lw(l_ref, bt_ref, lw_ref, C, OW)
+        _fill_lw(l_ref, bt_ref, lw_ref, C, TW)
 
     V = jnp.dot(a_ref[:], lw_ref[:], preferred_element_type=jnp.float32)
-    labels = lab_ref[0]  # (TH, OW) int32
+    labels = lab_ref[0]  # (TH, TW) int32
     valid = labels != ignore
 
-    m = V[:, 0:OW]
+    m = V[:, 0:TW]
     for c in range(1, C):
-        m = jnp.maximum(m, V[:, c * OW : (c + 1) * OW])
+        m = jnp.maximum(m, V[:, c * TW : (c + 1) * TW])
     s = jnp.zeros_like(m)
     z_true = jnp.zeros_like(m)
     w = jnp.zeros_like(m)
     for c in range(C):
-        z = V[:, c * OW : (c + 1) * OW]
+        z = V[:, c * TW : (c + 1) * TW]
         s = s + jnp.exp(z - m)
         hit = labels == c
         z_true = jnp.where(hit, z, z_true)
@@ -75,33 +142,36 @@ def _fwd_kernel(a_ref, l_ref, bt_ref, lab_ref, nll_ref, w_ref, lw_ref, *,
 
 
 def _bwd_kernel(a_ref, l_ref, bt_ref, b_ref, lab_ref, g_ref, dl_ref, lw_ref,
-                *, C: int, OW: int, w: int, ignore: int):
-    @pl.when(pl.program_id(1) == 0)
+                *, C: int, TW: int, ignore: int):
+    @pl.when(pl.program_id(2) == 0)
     def _():
-        _fill_lw(l_ref, bt_ref, lw_ref, C, OW)
+        _fill_lw(l_ref, bt_ref, lw_ref, C, TW)
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
         dl_ref[0] = jnp.zeros_like(dl_ref[0])
 
     V = jnp.dot(a_ref[:], lw_ref[:], preferred_element_type=jnp.float32)
     labels = lab_ref[0]
     g = g_ref[0] * (labels != ignore)  # invalid pixels carry no gradient
 
-    m = V[:, 0:OW]
+    m = V[:, 0:TW]
     for c in range(1, C):
-        m = jnp.maximum(m, V[:, c * OW : (c + 1) * OW])
+        m = jnp.maximum(m, V[:, c * TW : (c + 1) * TW])
     s = jnp.zeros_like(m)
     for c in range(C):
-        s = s + jnp.exp(V[:, c * OW : (c + 1) * OW] - m)
+        s = s + jnp.exp(V[:, c * TW : (c + 1) * TW] - m)
     g_inv_s = g / s
 
     At = a_ref[:].T  # (h, TH)
     for c in range(C):
-        p_g = jnp.exp(V[:, c * OW : (c + 1) * OW] - m) * g_inv_s
-        dz = (p_g - g * (labels == c)).astype(jnp.bfloat16)  # (TH, OW)
+        p_g = jnp.exp(V[:, c * TW : (c + 1) * TW] - m) * g_inv_s
+        dz = (p_g - g * (labels == c)).astype(jnp.bfloat16)  # (TH, TW)
         t1 = jnp.dot(dz, b_ref[:], preferred_element_type=jnp.float32)
         t2 = jnp.dot(
             At, t1.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )  # (h, w)
-        dl_ref[0, :, c * w : (c + 1) * w] += t2
+        dl_ref[0, c] += t2
 
 
 def _xla_ce_maps(logits, labels, class_weights, ignore, out_hw, align_corners):
@@ -122,9 +192,18 @@ def _xla_ce_maps(logits, labels, class_weights, ignore, out_hw, align_corners):
 def _tileable(logits, out_hw) -> bool:
     n, h, w, c = logits.shape
     oh, ow = out_hw
-    th = _row_tile(oh, cap=32)
-    scratch_mb = h * c * ow * 2 / 2**20
-    return th > 0 and ow % 128 == 0 and w % 128 == 0 and scratch_mb <= 10
+    return (
+        _plan(h, w, c, oh, ow, bwd=False) is not None
+        and _plan(h, w, c, oh, ow, bwd=True) is not None
+    )
+
+
+def _wpad_cols(bt, ow: int, ow_pad: int):
+    """Zero-pad the (w, ow) W-interp operator to (w, ow_pad): padded
+    output columns see all-zero interpolation weights."""
+    if ow_pad == ow:
+        return bt
+    return np.pad(bt, ((0, 0), (0, ow_pad - ow)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -134,34 +213,42 @@ def _ce_front_pallas(logits, labels, cw, ignore, oh, ow, interpret):
 
 def _ce_fwd_call(logits, labels, cw, ignore, oh, ow, interpret):
     n, h, w, c = logits.shape
-    th = _row_tile(oh, cap=32)
+    th, tw, ow_pad = _plan(h, w, c, oh, ow, bwd=False)
     a = jnp.asarray(_interp_matrix(h, oh, True), jnp.bfloat16)
     bt = jnp.asarray(
-        np.ascontiguousarray(_interp_matrix(w, ow, True).T), jnp.bfloat16
+        _wpad_cols(np.ascontiguousarray(_interp_matrix(w, ow, True).T), ow, ow_pad),
+        jnp.bfloat16,
     )
     lt = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.bfloat16)
+    labels = labels.astype(jnp.int32)
+    if ow_pad != ow:
+        # padded label columns are ignore -> nll=0, w=0 there by definition
+        labels = jnp.pad(labels, ((0, 0), (0, 0), (0, ow_pad - ow)),
+                         constant_values=ignore)
     vma = getattr(jax.typeof(logits), "vma", frozenset())
 
     nll, wmap = pl.pallas_call(
-        partial(_fwd_kernel, cw=cw, OW=ow, ignore=ignore),
-        grid=(n, oh // th),
+        partial(_fwd_kernel, cw=cw, TW=tw, ignore=ignore),
+        grid=(n, ow_pad // tw, oh // th),
         in_specs=[
-            pl.BlockSpec((th, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, ow), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, ow), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, h), lambda i, k, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda i, k, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tw), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, ow), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, ow), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, oh, ow), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((n, oh, ow), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n, oh, ow_pad), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n, oh, ow_pad), jnp.float32, vma=vma),
         ],
-        scratch_shapes=[pltpu.VMEM((h, c * ow), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((h, c * tw), jnp.bfloat16)],
         interpret=interpret,
-    )(a, lt, bt, labels.astype(jnp.int32))
+    )(a, lt, bt, labels)
+    if ow_pad != ow:
+        nll, wmap = nll[..., :ow], wmap[..., :ow]
     return nll, wmap
 
 
@@ -174,35 +261,44 @@ def _ce_front_bwd(cw, ignore, oh, ow, interpret, res, grads):
     logits, labels = res
     g_nll, _ = grads  # the weight map is label-only: no logits gradient
     n, h, w, c = logits.shape
-    th = _row_tile(oh, cap=32)
+    th, tw, ow_pad = _plan(h, w, c, oh, ow, bwd=True)
     a = jnp.asarray(_interp_matrix(h, oh, True), jnp.bfloat16)
-    b = jnp.asarray(_interp_matrix(w, ow, True), jnp.bfloat16)  # (OW, w)
+    b_np = _interp_matrix(w, ow, True)  # (OW, w)
+    b = jnp.asarray(np.pad(b_np, ((0, ow_pad - ow), (0, 0))), jnp.bfloat16)
     bt = jnp.asarray(
-        np.ascontiguousarray(_interp_matrix(w, ow, True).T), jnp.bfloat16
+        _wpad_cols(np.ascontiguousarray(b_np.T), ow, ow_pad), jnp.bfloat16
     )
     lt = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.bfloat16)
+    labels = labels.astype(jnp.int32)
+    if ow_pad != ow:
+        # padded columns: zero upstream gradient AND ignore labels, so
+        # dz there is exactly zero on both softmax and one-hot terms
+        labels = jnp.pad(labels, ((0, 0), (0, 0), (0, ow_pad - ow)),
+                         constant_values=ignore)
+        g_nll = jnp.pad(g_nll, ((0, 0), (0, 0), (0, ow_pad - ow)))
     vma = getattr(jax.typeof(logits), "vma", frozenset())
 
     dl = pl.pallas_call(
-        partial(_bwd_kernel, C=c, OW=ow, w=w, ignore=ignore),
-        grid=(n, oh // th),
+        partial(_bwd_kernel, C=c, TW=tw, ignore=ignore),
+        grid=(n, ow_pad // tw, oh // th),
         in_specs=[
-            pl.BlockSpec((th, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, ow), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ow, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, ow), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, ow), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, h), lambda i, k, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda i, k, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tw), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, w), lambda i, k, j: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM),
         ],
+        # accumulator: one (C,h,w) block per image, revisited across every
+        # (column-tile, row-tile) step — index map constant in (k, j)
         out_specs=pl.BlockSpec(
-            (1, h, c * w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, c, h, w), lambda i, k, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, c * w), jnp.float32, vma=vma),
-        scratch_shapes=[pltpu.VMEM((h, c * ow), jnp.bfloat16)],
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32, vma=vma),
+        scratch_shapes=[pltpu.VMEM((h, c * tw), jnp.bfloat16)],
         interpret=interpret,
-    )(a, lt, bt, b, labels.astype(jnp.int32), g_nll)
-    # (N, h, C*w) c-major -> (N, h, w, C)
-    dl = dl.reshape(n, h, c, w).transpose(0, 1, 3, 2).astype(logits.dtype)
+    )(a, lt, bt, b, labels, g_nll)
+    dl = dl.transpose(0, 2, 3, 1).astype(logits.dtype)  # (N,C,h,w)->(N,h,w,C)
     return dl, None
 
 
@@ -223,8 +319,9 @@ def ce_maps(
 
     Differentiable w.r.t. `logits`. Fused Pallas path on TPU for bf16
     low-res logits with align_corners=True (the training configuration);
-    exact XLA path otherwise (fp32 parity, CPU, odd shapes). Ignored
-    pixels yield (0, 0) on both paths."""
+    exact XLA path otherwise (fp32 parity, CPU, shapes whose VMEM plan
+    doesn't fit — see `_plan`). Ignored pixels yield (0, 0) on both
+    paths."""
     oh, ow = int(out_hw[0]), int(out_hw[1])
     cw = (
         np.ones((logits.shape[-1],), np.float32)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,18 +91,22 @@ def make_spatial_infer(
     folded: bool = False,
     compute_dtype=None,
     stem_s2d: bool = False,
+    use_spp_hint: bool = True,
 ):
     """Jitted inference forward with N×H sharded input, replicated params.
 
     Returns fn(params_or_folded, state, x) -> outputs (each head sharded
     like the input; gather with jax.device_get as needed). With
     `folded=True` pass the fold_params output and `state={}`.
+    `use_spp_hint=False` leaves the 1/64 PPM stage H-sharded instead of
+    applying the spp_hint un-shard/re-shard (test hook: the hint must be
+    a pure layout choice, never a numerics change).
     """
     from pidnet_tpu.models import pidnet as M
 
     img_s = image_sharding(mesh)
     rep = replicated(mesh)
-    hint = spp_hint(mesh)
+    hint = spp_hint(mesh) if use_spp_hint else None
 
     @partial(jax.jit, in_shardings=(rep, rep, img_s))
     def fn(params, state, x):
@@ -192,8 +197,88 @@ def make_spatial_train_step(
     return step
 
 
+def make_spatial_eval_step(
+    spec,
+    loss_fn,
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    compute_dtype=None,
+    stem_s2d: bool = False,
+):
+    """GSPMD validation step over the (data, spatial) mesh — same contract
+    as train.step.make_eval_step: step(ts, images, labels, edges,
+    sample_mask) -> (metrics, cms), cms (num_seg_outputs, C, C).
+
+    This is what `--spatial` training validates through (round-2 advisor:
+    the 1-D eval step put one FULL TEST.IMAGE_SIZE sample per device with
+    unsharded H, defeating the flag's larger-than-one-chip use case). The
+    program is global, so FullLoss's masked means and the bincount
+    confusion matrices are already global values — no per-shard weighting
+    needed; the partitioner shards the pixel work N×H and emits the
+    reductions."""
+    from pidnet_tpu.metrics import confusion_matrix
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.ops.resize import resize_bilinear
+    from pidnet_tpu.train.step import TrainState
+
+    img_s = image_sharding(mesh)
+    rep = replicated(mesh)
+    batch_s = NamedSharding(mesh, P(DATA_AXIS))
+    ts_s = TrainState(params=rep, state=rep, momentum=rep)
+    hint = spp_hint(mesh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(ts_s, img_s, img_s, img_s, batch_s),
+        out_shardings=(rep, rep),
+    )
+    def step(ts, images, labels, edges, sample_mask):
+        with no_pallas():  # opaque custom calls can't be SPMD-partitioned
+            outputs = M.apply(
+                ts.params, ts.state, images, spec, train=False,
+                compute_dtype=compute_dtype, stem_s2d=stem_s2d,
+                shard_hint=hint,
+            )
+            loss, metrics = loss_fn(
+                outputs, labels, edges, sample_mask=sample_mask
+            )
+        # padding defense for the CMs: masked samples become all-ignore
+        labels = jnp.where(
+            sample_mask.reshape(-1, 1, 1) > 0, labels, loss_fn.ignore_label
+        )
+        h, w = labels.shape[1], labels.shape[2]
+        cms = []
+        for o in outputs[:-1]:
+            seg = resize_bilinear(o, (h, w), loss_fn.align_corners)
+            cm = confusion_matrix(seg, labels, num_classes, loss_fn.ignore_label)
+            cms.append(cm.astype(jnp.float32))
+        return metrics, jnp.stack(cms)
+
+    return step
+
+
 def put_batch(mesh: Mesh, *arrays):
-    """Device-put global host arrays with (N, H) sharded over (data, spatial)."""
-    s = image_sharding(mesh)
-    out = tuple(jax.device_put(np.asarray(a), s) for a in arrays)
+    """Place host batch arrays on the (data, spatial) mesh: dims (N, H)
+    sharded for image-like arrays (rank >= 2), N only for per-sample
+    vectors (rank 1, e.g. the validation sample mask).
+
+    Single-process: `arrays` are the GLOBAL batch. Multi-process (after
+    `jax.distributed.initialize()`): each process passes its LOCAL batch
+    rows at full H — the process's devices must cover whole rows of the
+    (data, spatial) grid, i.e. `spatial` divides the local device count
+    (enforced by tools/train.py) — and the global array is assembled via
+    `make_array_from_process_local_data`, like parallel.mesh.shard_batch."""
+    img_s = image_sharding(mesh)
+    batch_s = NamedSharding(mesh, P(DATA_AXIS))
+    multi = jax.process_count() > 1
+
+    def put(a):
+        a = np.asarray(a)
+        s = img_s if a.ndim >= 2 else batch_s
+        if multi:
+            return jax.make_array_from_process_local_data(s, a)
+        return jax.device_put(a, s)
+
+    out = tuple(put(a) for a in arrays)
     return out if len(out) > 1 else out[0]

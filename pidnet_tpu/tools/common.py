@@ -32,6 +32,42 @@ def init_model(cfg, spec, seed: int = 0):
     return M.init(jax.random.PRNGKey(seed), spec)
 
 
+def is_folded_checkpoint(path: str) -> bool:
+    """True when `path` is a BN-folded (inference-only) .msgpack written
+    by `tools.convert --fold`. Folded payloads keep the conv weight key
+    names of unfolded checkpoints, so merging one into an unfolded init
+    would silently produce wrong outputs (BN re-applied on top of folded
+    weights) — every loader must route on this flag."""
+    if not path.endswith(".msgpack"):
+        return False
+    from pidnet_tpu.train import checkpoint as ckpt
+
+    return bool(ckpt.load(path).get("folded", False))
+
+
+def load_folded(path: str, spec, ref_params: dict, ref_state: dict) -> dict:
+    """Load a folded .msgpack as the folded parameter set itself (consumed
+    by `models.pidnet.apply(..., folded=True)`), validated against the
+    key set `convert.fold_params` would produce for this spec."""
+    from pidnet_tpu.convert import fold_params
+    from pidnet_tpu.train import checkpoint as ckpt
+
+    payload = ckpt.load(path)
+    if not payload.get("folded", False):
+        raise ValueError(f"{path} is not a folded checkpoint")
+    got = payload["params"]
+    want_keys = set(fold_params(ref_params, ref_state, spec))
+    missing = want_keys - set(got)
+    if missing:
+        raise SystemExit(
+            f"folded checkpoint {path} is missing {len(missing)} tensors for "
+            f"this architecture (e.g. {sorted(missing)[:3]}); was it converted "
+            "with the same --a/--c?"
+        )
+    log.info("Loaded %d folded parameters!", len(want_keys))
+    return {k: got[k] for k in want_keys}
+
+
 def load_weights(path: str, params: dict, state: dict):
     """Load model weights from any supported container:
 
@@ -39,12 +75,21 @@ def load_weights(path: str, params: dict, state: dict):
     - ``.pt`` / ``.pth[.tar]`` — torch checkpoints via the converter
       (both reference layouts, models/pidnet.py:193-214).
 
-    Returns (params, state, n_loaded).
+    Returns (params, state, n_loaded). Rejects BN-folded payloads — they
+    cannot populate an unfolded model (see `is_folded_checkpoint`); use
+    `load_folded` + the folded apply path for those.
     """
     if path.endswith(".msgpack"):
         from pidnet_tpu.train import checkpoint as ckpt
 
         payload = ckpt.load(path)
+        if payload.get("folded", False):
+            raise SystemExit(
+                f"{path} is a BN-folded inference-only checkpoint: it cannot "
+                "be loaded into an unfolded model (conv weights share names "
+                "but have BN baked in). Use eval --fold-bn / custom --bf16, "
+                "which load it onto the folded apply path directly."
+            )
         new_params = dict(params)
         new_state = dict(state)
         n = 0

@@ -49,6 +49,13 @@ def parse_args(argv=None):
         action="store_true",
         help="write a torch-layout state_dict .pt instead of .msgpack",
     )
+    parser.add_argument(
+        "--force",
+        action="store_true",
+        help="proceed even when the src checkpoint matches almost none of "
+        "the model's tensors (default: abort — a mismatched --a/--c would "
+        "silently write a mostly-random-init model)",
+    )
     return parser.parse_args(argv)
 
 
@@ -62,8 +69,15 @@ def main(argv=None):
 
     spec = M.spec_for(args.a, args.c, augment=not args.no_augment)
     params, state = M.init(jax.random.PRNGKey(0), spec)
+    n_model = len(params) + len(state)
     params, state, n_loaded = common.load_weights(args.src, params, state)
     print(f"loaded {n_loaded} tensors from {args.src}")
+    if n_loaded < n_model // 2 and not args.force:
+        raise SystemExit(
+            f"src matched only {n_loaded}/{n_model} of the model's tensors — "
+            f"does {args.src} really hold a {args.a}/--c {args.c} model? "
+            "(--force to write anyway)"
+        )
 
     os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
     if args.export:
@@ -81,10 +95,15 @@ def main(argv=None):
     if args.fold:
         from pidnet_tpu.convert import fold_params
 
-        params, state = fold_params(params, state, spec), {}
+        # tagged payload: loaders route folded params straight to the
+        # folded apply path and refuse to merge them into unfolded inits
+        # (common.is_folded_checkpoint / load_folded)
+        ckpt.save(args.dst, {"params": fold_params(params, state, spec),
+                             "state": {}, "folded": True})
+        print(f"wrote folded model to {args.dst}")
+        return
     ckpt.save_model(args.dst, params, state)
-    kind = "folded " if args.fold else ""
-    print(f"wrote {kind}model ({len(params)} params) to {args.dst}")
+    print(f"wrote model ({len(params)} params) to {args.dst}")
 
 
 if __name__ == "__main__":

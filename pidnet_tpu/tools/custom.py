@@ -56,12 +56,21 @@ def main(argv=None):
 
     spec = M.spec_for(args.a, 19 if args.c else 11, augment=False)
     params, state = M.init(jax.random.PRNGKey(0), spec)
-    params, state, _ = common.load_weights(args.p, params, state)
     folded = False
-    if args.bf16:
-        from pidnet_tpu.convert import fold_params
+    if common.is_folded_checkpoint(args.p):
+        # pre-folded payload (tools.convert --fold) -> folded apply path
+        if not args.bf16:
+            raise SystemExit(
+                f"{args.p} is BN-folded (inference-only); re-run with --bf16 "
+                "to use it, or point --p at an unfolded checkpoint."
+            )
+        params, state, folded = common.load_folded(args.p, spec, params, state), {}, True
+    else:
+        params, state, _ = common.load_weights(args.p, params, state)
+        if args.bf16:
+            from pidnet_tpu.convert import fold_params
 
-        params, state, folded = fold_params(params, state, spec), {}, True
+            params, state, folded = fold_params(params, state, spec), {}, True
 
     @jax.jit
     def infer(x):

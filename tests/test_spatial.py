@@ -28,27 +28,25 @@ def _net(augment):
 
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
 def test_spatial_infer_matches_unsharded(rng, mesh_shape):
+    # augment=False specs return ONE head array (N,h,w,C) — compare it as
+    # a whole (round 2 accidentally zip-iterated the batch dimension here)
     spec, params, state = _net(augment=False)
     x = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
 
-    want = M.apply(params, state, jnp.asarray(x), spec, train=False)
+    want = np.asarray(M.apply(params, state, jnp.asarray(x), spec, train=False))
 
     mesh = make_mesh_2d(*mesh_shape)
     fn = make_spatial_infer(spec, mesh)
-    got = fn(params, state, put_batch(mesh, x))
+    got = np.asarray(fn(params, state, put_batch(mesh, x)))
 
-    assert len(got) == len(want)
+    assert got.shape == want.shape
     # The partitioner re-orders the reductions behind DAPPM global pooling
     # and the H-contracting resize matmuls (partial sums + psum), so fp32
     # logits differ by reduction-order noise; assert closeness plus
     # near-exact class decisions on the segmentation head.
-    for g, w in zip(got, want):
-        np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=2e-2, atol=2e-2
-        )
-    seg_g = np.argmax(np.asarray(got[0]), -1)
-    seg_w = np.argmax(np.asarray(want[0]), -1)
-    assert (seg_g == seg_w).mean() >= 0.995
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    agree = (np.argmax(got, -1) == np.argmax(want, -1)).mean()
+    assert agree >= 0.999, agree
 
 
 def test_spatial_infer_folded(rng):
@@ -58,14 +56,91 @@ def test_spatial_infer_folded(rng):
     folded = fold_params(params, state, spec)
     x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
 
-    want = M.apply(folded, {}, jnp.asarray(x), spec, folded=True)
+    want = np.asarray(M.apply(folded, {}, jnp.asarray(x), spec, folded=True))
 
     mesh = make_mesh_2d(1, 8)
     fn = make_spatial_infer(spec, mesh, folded=True)
-    got = fn(folded, {}, put_batch(mesh, x))
-    for g, w in zip(got, want):
+    got = np.asarray(fn(folded, {}, put_batch(mesh, x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_spatial_infer_bench_resolution(rng):
+    """Class-map agreement at the BENCH resolution (1024x2048, the
+    reference speed-protocol input): the spatially sharded program must
+    reproduce the unsharded class decisions near-exactly — the claim
+    `--spatial` makes for images too large for one chip."""
+    spec, params, state = _net(augment=False)
+    x = rng.standard_normal((1, 1024, 2048, 3)).astype(np.float32)
+
+    want = np.argmax(
+        np.asarray(M.apply(params, state, jnp.asarray(x), spec, train=False)), -1
+    )
+    mesh = make_mesh_2d(1, 8)
+    fn = make_spatial_infer(spec, mesh)
+    got = np.argmax(np.asarray(fn(params, state, put_batch(mesh, x))), -1)
+    agree = (got == want).mean()
+    assert agree >= 0.999, agree
+
+
+def test_spp_hint_is_layout_only(rng):
+    """spp_hint un-shards H for the 1/64 PPM stage and re-shards after —
+    a layout choice that must not change the math: hinted and hintless
+    programs agree to partitioner reduction-order noise."""
+    spec, params, state = _net(augment=False)
+    x = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+    mesh = make_mesh_2d(2, 4)
+
+    hinted = np.asarray(
+        make_spatial_infer(spec, mesh)(params, state, put_batch(mesh, x))
+    )
+    hintless = np.asarray(
+        make_spatial_infer(spec, mesh, use_spp_hint=False)(
+            params, state, put_batch(mesh, x)
+        )
+    )
+    np.testing.assert_allclose(hintless, hinted, rtol=2e-2, atol=2e-2)
+    agree = (np.argmax(hintless, -1) == np.argmax(hinted, -1)).mean()
+    assert agree >= 0.999, agree
+
+
+def test_spatial_eval_step_matches_dp(rng):
+    """make_spatial_eval_step == train.step.make_eval_step on the same
+    batch: global metrics and per-output confusion matrices (the --spatial
+    validation path, round-2 advisor finding). OHEM off: the DP step's
+    criterion is per-shard top-k while the spatial program is global
+    top-k (documented semantics difference, parallel/spatial.py:20-25),
+    so scalar equality is only defined for the smooth objective."""
+    from pidnet_tpu.parallel import make_mesh, shard_batch
+    from pidnet_tpu.parallel.spatial import make_spatial_eval_step
+    from pidnet_tpu.train import make_eval_step
+
+    spec, params, state = _net(augment=True)
+    loss_fn = FullLoss(ignore_label=255, use_ohem=False)
+    img = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (2, 128, 128)).astype(np.int32)
+    lab[0, :8] = 255
+    edge = (rng.random((2, 128, 128)) < 0.1).astype(np.float32)
+    mask = np.array([1.0, 0.0], np.float32)  # second sample is padding
+
+    dp_mesh = make_mesh(2)
+    dp_step = make_eval_step(spec, loss_fn, dp_mesh, num_classes=19)
+    ts = TrainState.create(params, state)
+    m_dp, cm_dp = dp_step(ts, *shard_batch(dp_mesh, img, lab, edge, mask))
+
+    sp_mesh = make_mesh_2d(2, 4)
+    sp_step = make_spatial_eval_step(spec, loss_fn, sp_mesh, num_classes=19)
+    m_sp, cm_sp = sp_step(ts, *put_batch(sp_mesh, img, lab, edge, mask))
+
+    cm_dp, cm_sp = np.asarray(cm_dp), np.asarray(cm_sp)
+    assert cm_sp.shape == cm_dp.shape
+    # integer pixel counts: identical totals, and only reduction-order
+    # argmax flips may move pixels between cells
+    np.testing.assert_allclose(cm_sp.sum(), cm_dp.sum())
+    assert np.abs(cm_sp - cm_dp).sum() / cm_dp.sum() < 5e-3
+    for k in m_dp:
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=2e-2, atol=2e-2
+            float(m_sp[k]), float(m_dp[k]), rtol=2e-2, atol=1e-3, err_msg=k
         )
 
 

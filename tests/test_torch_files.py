@@ -85,3 +85,38 @@ def test_convert_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.transpose(w, (2, 3, 1, 0)), np.asarray(params["conv1.0.weight"])
     )
+
+
+def test_folded_checkpoint_routing(tmp_path):
+    """A --fold output is tagged `folded: true` and can only drive the
+    folded apply path (ADVICE r2): load_weights refuses it instead of
+    silently merging BN-baked conv weights into an unfolded init, and
+    load_folded returns the folded parameter set verbatim."""
+    import pytest
+
+    from pidnet_tpu.convert import fold_params
+    from pidnet_tpu.tools import common, convert as convert_tool
+
+    params, state = M.init(jax.random.PRNGKey(0), SPEC)
+    src = str(tmp_path / "ft.pt")
+    torch.save(_torch_style_sd(params, state, prefix="model."), src)
+    fdst = str(tmp_path / "folded.msgpack")
+    convert_tool.main(["--a", "pidnet-s", "--c", "11", "--fold", src, fdst])
+
+    assert common.is_folded_checkpoint(fdst)
+    with pytest.raises(SystemExit, match="BN-folded"):
+        load_weights(fdst, dict(params), dict(state))
+    pf = common.load_folded(fdst, SPEC, params, state)
+    want = fold_params(params, state, SPEC)
+    assert set(pf) == set(want)
+    np.testing.assert_allclose(
+        np.asarray(pf["conv1.0.weight"]), np.asarray(want["conv1.0.weight"])
+    )
+    # converting an already-folded src is refused up front
+    with pytest.raises(SystemExit, match="BN-folded"):
+        convert_tool.main(["--a", "pidnet-s", "--c", "11", fdst,
+                           str(tmp_path / "x.msgpack")])
+    # a wrong-architecture load aborts instead of writing random init
+    with pytest.raises(SystemExit, match="matched only"):
+        convert_tool.main(["--a", "pidnet-l", "--c", "11", src,
+                           str(tmp_path / "y.msgpack")])
