@@ -57,7 +57,20 @@ def train_one_epoch(
     tic = time.time()
     cur_iters = epoch * epoch_iters
 
-    prev_metrics = None
+    def fold(metrics):
+        """Pull a step's device scalars (sync point) into the meters."""
+        m = {k: float(v) for k, v in metrics.items()}
+        ave_loss.update(m["loss"])
+        ave_acc.update(m["acc"])
+        avg_sem_loss.update(m["sem_loss"])
+        avg_bce_loss.update(m["bce_loss"])
+
+    # One step's metrics are kept in flight un-synced so the host-side
+    # data pipeline overlaps device compute; on PRINT_FREQ iterations the
+    # in-flight step is folded immediately (one pipeline bubble per
+    # PRINT_FREQ steps), so every log line shows meters over steps 0..i —
+    # the reference's exact meter semantics (utils/function.py:26-72).
+    pending = None
     for i_iter, (images, labels, edges, _, _) in enumerate(loader):
         # Exact reference schedule: adjust_learning_rate runs AFTER
         # optimizer.step() (utils/function.py:49,61-64), so the update at
@@ -69,21 +82,15 @@ def train_one_epoch(
         ts, metrics = step_fn(ts, *batch, lr)
         lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 
-        # pull the PREVIOUS step's scalars: keeps one step in flight so the
-        # host-side data pipeline overlaps device compute
-        if prev_metrics is None:
-            prev_metrics = metrics
-            continue
-        m = {k: float(v) for k, v in prev_metrics.items()}
-        prev_metrics = metrics
+        if pending is not None:
+            fold(pending)
+        pending = metrics
         batch_time.update(time.time() - tic)
         tic = time.time()
-        ave_loss.update(m["loss"])
-        ave_acc.update(m["acc"])
-        avg_sem_loss.update(m["sem_loss"])
-        avg_bce_loss.update(m["bce_loss"])
 
         if i_iter % cfg.PRINT_FREQ == 0:
+            fold(pending)
+            pending = None
             log.info(
                 "Epoch: [%d/%d] Iter:[%d/%d], Time: %.2f, lr: [%s], "
                 "Loss: %.6f, Acc:%.6f, Semantic loss: %.6f, BCE loss: %.6f, "
@@ -101,12 +108,8 @@ def train_one_epoch(
                 ave_loss.average() - avg_sem_loss.average() - avg_bce_loss.average(),
             )
 
-    if prev_metrics is not None:  # flush the final in-flight step's metrics
-        m = {k: float(v) for k, v in prev_metrics.items()}
-        ave_loss.update(m["loss"])
-        ave_acc.update(m["acc"])
-        avg_sem_loss.update(m["sem_loss"])
-        avg_bce_loss.update(m["bce_loss"])
+    if pending is not None:  # flush the final in-flight step's metrics
+        fold(pending)
 
     writer = writer_dict["writer"]
     writer.add_scalar("train_loss", ave_loss.average(), writer_dict["train_global_steps"])

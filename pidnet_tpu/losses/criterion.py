@@ -235,19 +235,23 @@ class FullLoss:
         divide_by = "numel" if self.use_ohem else "weights"
         return _ce_from_maps(nll, w, divide_by, numel)
 
-    def sem_loss(self, scores: list, labels, numel=None, out_hw=None):
+    def sem_loss(self, scores: list, labels, numel=None, out_hw=None, final_maps=None):
         """Balance-weighted multi-output semantic loss: plain CE on all but
-        the last head, OHEM on the last (reference criterion.py:87-93)."""
+        the last head, OHEM on the last (reference criterion.py:87-93).
+        `final_maps` optionally supplies precomputed per-pixel maps for the
+        last head so __call__ can share ONE ce_front invocation between the
+        OHEM term and the boundary-aware CE (see __call__)."""
         out_hw = out_hw or (labels.shape[1], labels.shape[2])
         losses = []
         for i, (w, s) in enumerate(zip(self.balance_weights, scores)):
             is_last = i == len(scores) - 1
+            maps = (
+                final_maps
+                if is_last and final_maps is not None
+                else self._maps(s, labels, out_hw)
+            )
             losses.append(
-                w * self._single_maps(
-                    self._maps(s, labels, out_hw),
-                    self.use_ohem and is_last,
-                    numel,
-                )
+                w * self._single_maps(maps, self.use_ohem and is_last, numel)
             )
         return sum(losses)
 
@@ -292,16 +296,32 @@ class FullLoss:
             valid = valid & sample_valid
         acc = jnp.sum(valid & (preds == labels)) / (jnp.sum(valid) + 1e-10)
 
-        loss_s = self.sem_loss(seg_heads, labels, numel, (h, w))
+        # ONE ce_front invocation serves both final-head terms: the OHEM
+        # loss and the boundary-aware CE share the same per-pixel nll map
+        # (nll depends only on logits + true label); the SB term
+        # (utils/utils.py:52-54 — keep the label only where
+        # sigmoid(boundary logit) > 0.8, i.e. bd_label) differs from the
+        # plain-label term ONLY in which pixels are valid, so it is the
+        # same maps with validity/weights additionally masked by the
+        # boundary confidence. Pixels that are bd-unconfident get w=0 and
+        # valid=False — exactly what ce_maps(bd_label) would produce —
+        # while their nll values are inert in every reduction. This halves
+        # the final head's upsample+CE cost (fwd and bwd: the two terms'
+        # cotangents sum into one ce_front backward).
+        nll_f, w_f, valid_f = self._maps(seg_final, labels, (h, w))
+        final_maps = (nll_f, w_f, valid_f)
+
+        loss_s = self.sem_loss(seg_heads, labels, numel, (h, w), final_maps)
         loss_b = self.bd_coeff * weighted_bce(bd_head, bd_gt, numel)
 
         # boundary-aware CE: only pixels the boundary head is confident
         # about keep their label (utils/utils.py:52-54)
         bd_conf = jax.nn.sigmoid(bd_head[..., 0].astype(jnp.float32)) > 0.8
-        bd_label = jnp.where(bd_conf, labels, self.ignore_label)
-        loss_sb = self.sb_weights * self._single_maps(
-            self._maps(seg_final, bd_label, (h, w)), self.use_ohem
-        )
+        # nll needs no masking: w=0 / valid=False already make unconfident
+        # pixels inert in every reduction (wl = nll*w; OHEM's true_prob is
+        # sentineled by valid)
+        sb_maps = (nll_f, jnp.where(bd_conf, w_f, 0.0), valid_f & bd_conf)
+        loss_sb = self.sb_weights * self._single_maps(sb_maps, self.use_ohem)
 
         loss = loss_s + loss_b + loss_sb
         metrics = {

@@ -195,3 +195,55 @@ def test_kth_smallest_fuzz(rng):
             want = float(np.partition(x, k)[k])
             assert got == want or (np.isnan(got) and np.isnan(want)), (
                 len(x), k, got, want)
+
+
+def test_full_loss_shared_final_maps_equivalence(rng):
+    """FullLoss shares ONE per-pixel (nll, w) map between the final head's
+    OHEM term and the boundary-aware CE (criterion.FullLoss.__call__).
+    That sharing must be f32-equivalent — value AND logits gradients — to
+    the direct formulation that recomputes maps on bd_label (the pre-share
+    semantics, identical to reference utils/utils.py:52-54)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pidnet_tpu.losses import criterion as C
+    from pidnet_tpu.ops.resize import resize_bilinear
+
+    n, h, w, c = 2, 64, 64, 19
+    outs = [
+        jnp.asarray(rng.standard_normal((n, h // 8, w // 8, c)), jnp.float32),
+        jnp.asarray(rng.standard_normal((n, h // 8, w // 8, c)), jnp.float32),
+        jnp.asarray(rng.standard_normal((n, h // 8, w // 8, 1)), jnp.float32),
+    ]
+    labels = jnp.asarray(rng.integers(0, c, (n, h, w)), jnp.int32)
+    labels = jnp.where(jnp.asarray(rng.random((n, h, w)) < 0.1), IGNORE, labels)
+    edges = jnp.asarray((rng.random((n, h, w)) < 0.2).astype(np.float32))
+    cw = (0.5 + rng.random(c)).astype(np.float32)
+    fl = FullLoss(ignore_label=IGNORE, ohem_kept=100, class_weights=cw)
+
+    def direct(outputs):
+        seg_heads = outputs[:-1]
+        seg_final = seg_heads[-1]
+        bd_head = resize_bilinear(outputs[-1], (h, w), fl.align_corners)
+        loss_s = sum(
+            bw
+            * fl._single_maps(
+                fl._maps(s, labels, (h, w)),
+                fl.use_ohem and i == len(seg_heads) - 1,
+            )
+            for i, (bw, s) in enumerate(zip(fl.balance_weights, seg_heads))
+        )
+        loss_b = fl.bd_coeff * C.weighted_bce(bd_head, edges)
+        bd_conf = jax.nn.sigmoid(bd_head[..., 0]) > 0.8
+        bd_label = jnp.where(bd_conf, labels, fl.ignore_label)
+        loss_sb = fl.sb_weights * fl._single_maps(
+            fl._maps(seg_final, bd_label, (h, w)), fl.use_ohem
+        )
+        return loss_s + loss_b + loss_sb
+
+    l_new, g_new = jax.value_and_grad(lambda o: fl(o, labels, edges)[0])(outs)
+    l_old, g_old = jax.value_and_grad(direct)(outs)
+    assert float(jnp.abs(l_new - l_old)) == 0.0, (float(l_new), float(l_old))
+    for a, b in zip(g_new, g_old):
+        # one fp reassociation in the summed final-head cotangent
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
