@@ -198,7 +198,7 @@ def make_inference(
     def _infer(params, state, x):
         out = M.apply(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded, shard_hint=hint,
+            stem_s2d=folded, wfold=folded, shard_hint=hint,
         )
         if isinstance(out, (list, tuple)):
             if cfg.MODEL.NUM_OUTPUTS > 1:
@@ -247,7 +247,7 @@ def make_inference_classmap(
         with gate():
             out = M.apply(
                 params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-                stem_s2d=folded, shard_hint=hint,
+                stem_s2d=folded, wfold=folded, shard_hint=hint,
             )
             if isinstance(out, (list, tuple)):
                 if cfg.MODEL.NUM_OUTPUTS > 1:

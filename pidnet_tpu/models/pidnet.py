@@ -79,6 +79,7 @@ class _ApplyOps:
         compute_dtype,
         folded: bool,
         stem_s2d: bool = False,
+        wfold: bool = False,
         shard_hint=None,
         sample_weight=None,
     ):
@@ -89,6 +90,7 @@ class _ApplyOps:
         self.compute_dtype = compute_dtype
         self.folded = folded
         self.stem_s2d = stem_s2d
+        self.wfold = wfold
         self.shard_hint = shard_hint
         self.sample_weight = sample_weight
         self.new_state: dict = {}
@@ -353,6 +355,158 @@ def _bottleneck(ops, prefix, x, planes, stride=1, no_relu=True):
 _BLOCK = {"basic": (_basic_block, False), "bottleneck": (_bottleneck, True)}
 
 
+# ---------------------------------------------------------------------------
+# W-folded blocks (ops/wfold.py): the P/D branch stages run at 1/8 res
+# with 32-64 channels — 25-50% lane fill on the 128-wide TPU lane axis.
+# Folding W-parity into channels (a FREE reshape for NHWC) restores full
+# lanes; 3x3 kernels are re-indexed over folded blocks by one-hot einsums
+# so gradients flow to the canonical torch-named weights. Exact math
+# (fp32-bit-exact vs the unfolded blocks, tests/test_wfold.py).
+# ---------------------------------------------------------------------------
+
+
+def _wf_conv(ops, name, xf, E, pad_w, f):
+    from pidnet_tpu.ops.wfold import expand_weight
+
+    w = ops.params[name + ".weight"]
+    K = expand_weight(w, E)
+    b = None
+    if ops.folded:
+        b0 = ops.params.get(name + ".bias")
+        if b0 is not None:
+            b = jnp.tile(b0, f)
+    pad_h = (w.shape[0] // 2,) * 2
+    return conv2d(
+        xf, K, b, stride=1, compute_dtype=ops.compute_dtype,
+        padding=(pad_h, pad_w),
+    )
+
+
+def _wf_bn(ops, name, xf, f, count_scale=1.0):
+    from pidnet_tpu.nn.functional import batch_norm_grouped
+
+    if ops.folded:
+        scale = jnp.tile(ops.params[name + ".scale"], f).astype(xf.dtype)
+        shift = jnp.tile(ops.params[name + ".shift"], f).astype(xf.dtype)
+        return xf * scale + shift
+    y, nm, nv = batch_norm_grouped(
+        xf,
+        ops.params[name + ".weight"],
+        ops.params[name + ".bias"],
+        ops.state[name + ".running_mean"],
+        ops.state[name + ".running_var"],
+        groups=f,
+        train=ops.train,
+        axis_name=ops.sync_axis,
+        sample_weight=ops.sample_weight,
+        count_scale=count_scale,
+    )
+    if ops.train:
+        ops.new_state[name + ".running_mean"] = nm
+        ops.new_state[name + ".running_var"] = nv
+    return y
+
+
+def _wf_convbn(ops, conv_name, bn_name, xf, E, pad_w, f, count_scale=1.0):
+    y = _wf_conv(ops, conv_name, xf, E, pad_w, f)
+    return y if ops.folded else _wf_bn(ops, bn_name, y, f, count_scale)
+
+
+def _wf_basic_block(ops, prefix, xf, planes, f, no_relu=False):
+    """Basic block on a W-folded tensor: conv1 maps to the shifted MID
+    layout (B+1 blocks, 2-tap window — 4/3 the MACs instead of the
+    canonical form's 2x), conv2 maps back. The mid layout's f garbage
+    columns are zeroed before BN statistics and again after BN/ReLU
+    re-bias them (mask multiplies fuse into the elementwise chains)."""
+    from pidnet_tpu.ops.wfold import mid_mask, pair1_factor, pair2_factor
+
+    blocks = xf.shape[2]
+    e1, e2 = pair1_factor(f), pair2_factor(f)
+    mid = _wf_conv(ops, f"{prefix}.conv1", xf, e1, (1, 1), f)
+    mask = jnp.asarray(mid_mask(blocks + 1, f, planes), mid.dtype)
+    if ops.folded:
+        mid = relu(mid) * mask
+    else:
+        mid = _wf_bn(
+            ops, f"{prefix}.bn1", mid * mask, f, count_scale=blocks / (blocks + 1)
+        )
+        mid = relu(mid) * mask
+    out = _wf_convbn(ops, f"{prefix}.conv2", f"{prefix}.bn2", mid, e2, (0, 0), f)
+    if xf.shape[-1] != f * planes:
+        from pidnet_tpu.ops.wfold import eye_factor
+
+        residual = _wf_convbn(
+            ops, f"{prefix}.downsample.0", f"{prefix}.downsample.1", xf,
+            eye_factor(f), (0, 0), f,
+        )
+    else:
+        residual = xf
+    out = out + residual
+    return out if no_relu else relu(out)
+
+
+def _wf_bottleneck(ops, prefix, xf, planes, f, no_relu=True):
+    """Bottleneck on a W-folded tensor: 1x1s are block-diagonal
+    (MAC-neutral), the single 3x3 uses the canonical->canonical 3-block
+    window (exact SAME padding, no masking, f x MACs)."""
+    from pidnet_tpu.ops.wfold import eye_factor, single_factor
+
+    cout = planes * 2
+    ee, es = eye_factor(f), single_factor(f)
+    out = relu(_wf_convbn(ops, f"{prefix}.conv1", f"{prefix}.bn1", xf, ee, (0, 0), f))
+    out = relu(_wf_convbn(ops, f"{prefix}.conv2", f"{prefix}.bn2", out, es, (1, 1), f))
+    out = _wf_convbn(ops, f"{prefix}.conv3", f"{prefix}.bn3", out, ee, (0, 0), f)
+    if xf.shape[-1] != f * cout:
+        residual = _wf_convbn(
+            ops, f"{prefix}.downsample.0", f"{prefix}.downsample.1", xf,
+            ee, (0, 0), f,
+        )
+    else:
+        residual = xf
+    out = out + residual
+    return out if no_relu else relu(out)
+
+
+_WF_BLOCK = {"basic": (_wf_basic_block, False), "bottleneck": (_wf_bottleneck, True)}
+
+
+def _wf_factor(ops, x, planes):
+    from pidnet_tpu.ops.wfold import fold_factor
+
+    if not getattr(ops, "wfold", False):
+        return None
+    return fold_factor(planes, x.shape[2])
+
+
+def _wf_layer(ops, prefix, x, block, planes, blocks):
+    """W-folded `_layer` (stride-1 stages only); falls back to the normal
+    layout when folding is off or not applicable (C>=128, odd widths)."""
+    f = _wf_factor(ops, x, planes)
+    if f is None:
+        return _layer(ops, prefix, x, block, planes, blocks)
+    from pidnet_tpu.ops.wfold import wfold, wunfold
+
+    fn, default_no_relu = _WF_BLOCK[block]
+    xf = wfold(x, f)
+    for i in range(blocks):
+        if blocks == 1 or i == 0:
+            no_relu = default_no_relu
+        else:
+            no_relu = i == blocks - 1
+        xf = fn(ops, f"{prefix}.{i}", xf, planes, f, no_relu)
+    return wunfold(xf, f)
+
+
+def _wf_single_layer(ops, prefix, x, block, planes):
+    f = _wf_factor(ops, x, planes)
+    if f is None:
+        return _single_layer(ops, prefix, x, block, planes)
+    from pidnet_tpu.ops.wfold import wfold, wunfold
+
+    fn, _ = _WF_BLOCK[block]
+    return wunfold(fn(ops, prefix, wfold(x, f), planes, f, no_relu=True), f)
+
+
 def _layer(ops, prefix, x, block, planes, blocks, stride=1):
     """Sequential residual stage (reference pidnet.py:103-121): last block
     no_relu=True; a single-block stage keeps the block's default no_relu."""
@@ -537,11 +691,11 @@ def _forward(ops, x, spec: PIDNetSpec):
         x = _layer(ops, "layer1", x, "basic", p, spec.m)
         x = relu(_layer(ops, "layer2", relu(x), "basic", p * 2, spec.m, stride=2))
 
-    x_ = _layer(ops, "layer3_", x, "basic", p * 2, spec.m)  # P @1/8
+    x_ = _wf_layer(ops, "layer3_", x, "basic", p * 2, spec.m)  # P @1/8
     if spec.m == 2:
-        x_d = _single_layer(ops, "layer3_d", x, "basic", p)  # D @1/8 (S/M)
+        x_d = _wf_single_layer(ops, "layer3_d", x, "basic", p)  # D @1/8 (S/M)
     else:
-        x_d = _single_layer(ops, "layer3_d", x, "basic", p * 2)  # (L)
+        x_d = _wf_single_layer(ops, "layer3_d", x, "basic", p * 2)  # (L)
 
     x = relu(_layer(ops, "layer3", x, "basic", p * 4, spec.n, stride=2))  # I @1/16
     comp3 = ops.convbn("compression3.0", "compression3.1", x, p * 2, 1)
@@ -557,11 +711,11 @@ def _forward(ops, x, spec: PIDNetSpec):
     temp_p = x_
 
     x = relu(_layer(ops, "layer4", x, "basic", p * 8, spec.n, stride=2))  # I @1/32
-    x_ = _layer(ops, "layer4_", x_, "basic", p * 2, spec.m)
+    x_ = _wf_layer(ops, "layer4_", x_, "basic", p * 2, spec.m)
     if spec.m == 2:
-        x_d = _layer(ops, "layer4_d", relu(x_d), "bottleneck", p, 1)
+        x_d = _wf_layer(ops, "layer4_d", relu(x_d), "bottleneck", p, 1)
     else:
-        x_d = _single_layer(ops, "layer4_d", relu(x_d), "basic", p * 2)
+        x_d = _wf_single_layer(ops, "layer4_d", relu(x_d), "basic", p * 2)
 
     comp4 = ops.convbn("compression4.0", "compression4.1", x, p * 2, 1)
     x_ = _pagfm(ops, "pag4", x_, comp4, p)
@@ -573,8 +727,8 @@ def _forward(ops, x, spec: PIDNetSpec):
     x_d = relu(x_d)
     temp_d = x_d
 
-    x_ = _layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
-    x_d = _layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
+    x_ = _wf_layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
+    x_d = _wf_layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
     # "pre_spp"/"post_spp": under spatial (H-dim) sharding the caller
     # un-shards H here — the 1/64 PPM maps are tiny (16x32 at 1024x2048),
     # so sharding them is all collective overhead, and the giant-padding
@@ -667,6 +821,7 @@ def apply(
     compute_dtype=None,
     folded: bool = False,
     stem_s2d: bool = False,
+    wfold: bool = False,
     shard_hint=None,
     sample_weight=None,
 ):
@@ -682,7 +837,9 @@ def apply(
     prebuilt; otherwise they are derived live from the canonical weights
     (differentiable, checkpoint-compatible, grouped-BN statistics).
     `sample_weight` (N,) in {0,1} excludes padding samples from training
-    BatchNorm statistics (train/step.py pad_batch).
+    BatchNorm statistics (train/step.py pad_batch). `wfold=True` runs the
+    narrow-channel P/D branch stages in W-folded layout (ops/wfold.py) —
+    identical math, full MXU lanes.
     """
     ops = _ApplyOps(
         params,
@@ -692,6 +849,7 @@ def apply(
         compute_dtype=compute_dtype,
         folded=folded,
         stem_s2d=stem_s2d,
+        wfold=wfold,
         shard_hint=shard_hint,
         sample_weight=sample_weight,
     )

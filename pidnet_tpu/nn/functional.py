@@ -162,12 +162,19 @@ def batch_norm_grouped(
     momentum: float = BN_MOMENTUM,
     axis_name: str | None = None,
     sample_weight: jnp.ndarray | None = None,
+    count_scale: float = 1.0,
 ):
     """BatchNorm over an s2d-layout tensor whose channels are
     (block_a, block_b, o) = groups x O, with parameters/stats per original
     channel o. Statistics reduce over (N,H,W,blocks) — numerically the
     SAME statistics the normal-layout BN computes, so running stats and
     checkpoints are interchangeable with the standard path.
+
+    `count_scale` corrects the element count when the layout carries
+    padded slots that are guaranteed ZERO (ops/wfold mid layout: B+1
+    blocks hold B*f real columns -> count_scale=B/(B+1)): zeros
+    contribute nothing to the sums, so dividing by the scaled count gives
+    the exact real-column statistics.
 
     Returns (y, new_running_mean, new_running_var) (running stats pass
     through unchanged when train=False)."""
@@ -176,6 +183,9 @@ def batch_norm_grouped(
     xr = x.reshape(nb, hb, wb, groups, o)
     if train:
         mean, mean_sq, n = _batch_stats(xr, (0, 1, 2, 3), sample_weight)
+        if count_scale != 1.0:
+            inv = 1.0 / count_scale
+            mean, mean_sq, n = mean * inv, mean_sq * inv, n * count_scale
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)
             mean_sq = lax.pmean(mean_sq, axis_name)

@@ -91,6 +91,7 @@ def make_spatial_infer(
     folded: bool = False,
     compute_dtype=None,
     stem_s2d: bool = False,
+    wfold: bool = False,
     use_spp_hint: bool = True,
 ):
     """Jitted inference forward with N×H sharded input, replicated params.
@@ -120,6 +121,7 @@ def make_spatial_infer(
                 folded=folded,
                 compute_dtype=compute_dtype,
                 stem_s2d=stem_s2d,
+                wfold=wfold,
                 shard_hint=hint,
             )
         # Keep heads in the input layout; downstream (resize/argmax) stays
@@ -144,6 +146,7 @@ def make_spatial_train_step(
     nesterov: bool = False,
     compute_dtype=None,
     stem_s2d: bool = False,
+    wfold: bool = False,
 ):
     """GSPMD train step over a (data, spatial) mesh.
 
@@ -173,6 +176,7 @@ def make_spatial_train_step(
                 train=True,
                 compute_dtype=compute_dtype,
                 stem_s2d=stem_s2d,
+                wfold=wfold,
                 shard_hint=hint,
             )
             loss, metrics = loss_fn(outputs, labels, edges)
@@ -205,6 +209,7 @@ def make_spatial_eval_step(
     num_classes: int,
     compute_dtype=None,
     stem_s2d: bool = False,
+    wfold: bool = False,
 ):
     """GSPMD validation step over the (data, spatial) mesh — same contract
     as train.step.make_eval_step: step(ts, images, labels, edges,
@@ -237,7 +242,7 @@ def make_spatial_eval_step(
         with no_pallas():  # opaque custom calls can't be SPMD-partitioned
             outputs = M.apply(
                 ts.params, ts.state, images, spec, train=False,
-                compute_dtype=compute_dtype, stem_s2d=stem_s2d,
+                compute_dtype=compute_dtype, stem_s2d=stem_s2d, wfold=wfold,
                 shard_hint=hint,
             )
             loss, metrics = loss_fn(

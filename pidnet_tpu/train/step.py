@@ -82,6 +82,7 @@ def make_train_step(
     sync_bn: bool = False,
     compute_dtype=None,
     stem_s2d: bool = True,
+    wfold: bool = True,
     pad_batch: bool = True,
 ):
     """Build the jitted DP train step.
@@ -122,6 +123,7 @@ def make_train_step(
                 sync_bn_axis=DATA_AXIS if sync_bn else None,
                 compute_dtype=compute_dtype,
                 stem_s2d=stem_s2d,
+                wfold=wfold,
                 sample_weight=sample_weight,
             )
             loss, metrics = loss_fn(
@@ -168,6 +170,7 @@ def make_eval_step(
     num_classes: int,
     compute_dtype=None,
     stem_s2d: bool = True,
+    wfold: bool = True,
     pad_batch: bool = True,
 ):
     """Validation step: per-shard forward (eval-mode BN) + loss + on-device
@@ -197,7 +200,7 @@ def make_eval_step(
             )
         outputs = M.apply(
             params, state, images, spec, train=False, compute_dtype=compute_dtype,
-            stem_s2d=stem_s2d,
+            stem_s2d=stem_s2d, wfold=wfold,
         )
         loss, metrics = loss_fn(outputs, labels, edges, sample_mask=sample_mask)
         shard_w = jnp.sum(sample_mask.astype(jnp.float32))

@@ -42,12 +42,7 @@ with jax.profiler.trace(trace_dir):
         ts, metrics = step(ts, *batch, 0.01)
     _ = float(metrics["loss"])
 
-# parse xplane
-from tensorflow.tsl.profiler.protobuf import xplane_pb2
-path = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)[0]
-xs = xplane_pb2.XSpace()
-xs.ParseFromString(open(path, "rb").read())
-for plane in xs.planes:
-    if "TPU" not in plane.name or "#chip" not in plane.name.lower() and "tpu" not in plane.name.lower():
-        pass
-print([p.name for p in xs.planes])
+# aggregate op self-times (3 traced steps)
+from xplane_top import top_ops
+
+top_ops(trace_dir, n_steps=3, top_k=30)
