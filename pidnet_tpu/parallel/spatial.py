@@ -146,7 +146,7 @@ def make_spatial_train_step(
     nesterov: bool = False,
     compute_dtype=None,
     stem_s2d: bool = False,
-    wfold: bool = False,
+    wfold: bool = True,
 ):
     """GSPMD train step over a (data, spatial) mesh.
 
@@ -209,7 +209,7 @@ def make_spatial_eval_step(
     num_classes: int,
     compute_dtype=None,
     stem_s2d: bool = False,
-    wfold: bool = False,
+    wfold: bool = True,
 ):
     """GSPMD validation step over the (data, spatial) mesh — same contract
     as train.step.make_eval_step: step(ts, images, labels, edges,

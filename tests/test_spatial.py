@@ -83,6 +83,26 @@ def test_spatial_infer_bench_resolution(rng):
     assert agree >= 0.999, agree
 
 
+def test_spatial_infer_wfold_matches(rng):
+    """W-folding (ops/wfold.py) composes with H-dim spatial sharding: the
+    fold reshapes only the UNSHARDED W axis, so the partitioner sees the
+    same per-shard program. Train/eval spatial steps default wfold=True
+    (matching train.step); pin the equivalence here."""
+    spec, params, state = _net(augment=False)
+    x = rng.standard_normal((2, 128, 256, 3)).astype(np.float32)
+    mesh = make_mesh_2d(2, 4)
+
+    plain = np.asarray(
+        make_spatial_infer(spec, mesh, wfold=False)(params, state, put_batch(mesh, x))
+    )
+    folded = np.asarray(
+        make_spatial_infer(spec, mesh, wfold=True)(params, state, put_batch(mesh, x))
+    )
+    np.testing.assert_allclose(folded, plain, rtol=2e-2, atol=2e-2)
+    agree = (np.argmax(folded, -1) == np.argmax(plain, -1)).mean()
+    assert agree >= 0.999, agree
+
+
 def test_spp_hint_is_layout_only(rng):
     """spp_hint un-shards H for the 1/64 PPM stage and re-shards after —
     a layout choice that must not change the math: hinted and hintless
