@@ -118,6 +118,12 @@ def test_folded_inference_matches(rng):
     # deep-s2d stem is mathematically identical to the folded stem
     got_s2d = np.asarray(M.apply(folded, {}, x, spec, folded=True, stem_s2d=True))
     np.testing.assert_allclose(got_s2d, got, rtol=1e-5, atol=1e-6)
+    # folded + W-folded branch stages (the engine inference combination:
+    # tiled folded biases + masked ReLU mid layout, no BN) is the same math
+    got_wf = np.asarray(
+        M.apply(folded, {}, x, spec, folded=True, stem_s2d=True, wfold=True)
+    )
+    np.testing.assert_allclose(got_wf, got, rtol=1e-4, atol=1e-4)
 
 
 def test_export_loads_into_reference_get_seg_model(tmp_path, rng):
