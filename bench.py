@@ -62,9 +62,13 @@ def main():
     params, state = M.init(jax.random.PRNGKey(0), spec)
     folded = fold_params(params, state, spec)
 
+    # exactly the production inference pipeline (engine.make_inference*
+    # passes wfold=folded), so the FPS number and the numerics gate below
+    # cover the program that actually ships
     fn = jax.jit(
         lambda x: M.apply(
-            folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16, stem_s2d=True
+            folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16,
+            stem_s2d=True, wfold=True,
         )
     )
     x_np = _sample_input()

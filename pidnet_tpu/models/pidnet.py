@@ -385,10 +385,9 @@ def _wf_conv(ops, name, xf, E, pad_w, f):
 def _wf_bn(ops, name, xf, f, count_scale=1.0):
     from pidnet_tpu.nn.functional import batch_norm_grouped
 
-    if ops.folded:
-        scale = jnp.tile(ops.params[name + ".scale"], f).astype(xf.dtype)
-        shift = jnp.tile(ops.params[name + ".shift"], f).astype(xf.dtype)
-        return xf * scale + shift
+    # folded mode never reaches here: _wf_convbn returns the conv output
+    # (BN folded into the conv weights/bias) before calling _wf_bn
+    assert not ops.folded, name
     y, nm, nv = batch_norm_grouped(
         xf,
         ops.params[name + ".weight"],

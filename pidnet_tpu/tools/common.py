@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -32,6 +33,21 @@ def init_model(cfg, spec, seed: int = 0):
     return M.init(jax.random.PRNGKey(seed), spec)
 
 
+def _read_msgpack(path: str) -> dict:
+    """One deserialization per file: the CLIs probe a checkpoint with
+    `is_folded_checkpoint` and then immediately load it, so cache the
+    parsed payload keyed by (path, mtime, size)."""
+    st = os.stat(path)
+    return _read_msgpack_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=4)
+def _read_msgpack_cached(path: str, _mtime_ns: int, _size: int) -> dict:
+    from pidnet_tpu.train import checkpoint as ckpt
+
+    return ckpt.load(path)
+
+
 def is_folded_checkpoint(path: str) -> bool:
     """True when `path` is a BN-folded (inference-only) .msgpack written
     by `tools.convert --fold`. Folded payloads keep the conv weight key
@@ -40,9 +56,7 @@ def is_folded_checkpoint(path: str) -> bool:
     weights) — every loader must route on this flag."""
     if not path.endswith(".msgpack"):
         return False
-    from pidnet_tpu.train import checkpoint as ckpt
-
-    return bool(ckpt.load(path).get("folded", False))
+    return bool(_read_msgpack(path).get("folded", False))
 
 
 def load_folded(path: str, spec, ref_params: dict, ref_state: dict) -> dict:
@@ -50,9 +64,8 @@ def load_folded(path: str, spec, ref_params: dict, ref_state: dict) -> dict:
     by `models.pidnet.apply(..., folded=True)`), validated against the
     key set `convert.fold_params` would produce for this spec."""
     from pidnet_tpu.convert import fold_params
-    from pidnet_tpu.train import checkpoint as ckpt
 
-    payload = ckpt.load(path)
+    payload = _read_msgpack(path)
     if not payload.get("folded", False):
         raise ValueError(f"{path} is not a folded checkpoint")
     got = payload["params"]
@@ -80,9 +93,7 @@ def load_weights(path: str, params: dict, state: dict):
     `load_folded` + the folded apply path for those.
     """
     if path.endswith(".msgpack"):
-        from pidnet_tpu.train import checkpoint as ckpt
-
-        payload = ckpt.load(path)
+        payload = _read_msgpack(path)
         if payload.get("folded", False):
             raise SystemExit(
                 f"{path} is a BN-folded inference-only checkpoint: it cannot "

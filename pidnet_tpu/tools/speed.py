@@ -123,10 +123,11 @@ def main(argv=None):
         x = jnp.zeros((args.batch, h, w, 3), jnp.float32)
     else:
         folded = fold_params(params, state, spec)
+        # mirror engine.make_inference*'s folded pipeline (incl. wfold)
         fn = jax.jit(
             lambda x: M.apply(
                 folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16,
-                stem_s2d=True,
+                stem_s2d=True, wfold=True,
             )
         )
         x = jnp.zeros((args.batch, h, w, 3), jnp.bfloat16)

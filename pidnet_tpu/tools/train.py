@@ -199,12 +199,20 @@ def main(argv=None):
     if spatial_mesh is not None:
         from functools import partial
 
-        from pidnet_tpu.parallel.spatial import make_spatial_train_step, put_batch
+        from pidnet_tpu.parallel.spatial import (
+            make_spatial_eval_step,
+            make_spatial_train_step,
+            put_batch,
+        )
 
-        # the spatial step is ONE global program (global OHEM pool), not a
-        # per-shard criterion: scale the per-replica OHEMKEEP budget by the
-        # data-shard count so each image keeps the same number of hard
-        # pixels as the DP/reference per-replica criterion
+        # the spatial steps are ONE global program (global OHEM pool), not
+        # a per-shard criterion: scale the per-replica OHEMKEEP budget by
+        # the data-shard count so each image keeps the same number of hard
+        # pixels as the DP/reference per-replica criterion. The eval global
+        # batch is also n_data samples (eval_batch = n_data // n_proc per
+        # process), so the same budget applies to validation — an unscaled
+        # budget would keep n_data x fewer hard pixels per image and
+        # inflate valid_loss relative to non-spatial runs.
         spatial_loss_fn = FullLoss(
             num_outputs=cfg.MODEL.NUM_OUTPUTS,
             align_corners=cfg.MODEL.ALIGN_CORNERS,
@@ -225,7 +233,18 @@ def main(argv=None):
             nesterov=cfg.TRAIN.NESTEROV,
             compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
         )
+        # validation keeps H sharded too: the flag exists for resolutions
+        # exceeding one chip's HBM, and TEST.IMAGE_SIZE is the largest
+        # image in the run (round-2 advisor finding)
+        eval_step = make_spatial_eval_step(
+            spec,
+            spatial_loss_fn,
+            spatial_mesh,
+            num_classes=cfg.DATASET.NUM_CLASSES,
+            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
+        )
         place_batch = partial(put_batch, spatial_mesh)
+        place_eval_batch = place_batch
     else:
         train_step = make_train_step(
             spec,
@@ -238,23 +257,6 @@ def main(argv=None):
             compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
             pad_batch=cfg.XLA.PAD_BATCH,
         )
-    if spatial_mesh is not None:
-        # validation must keep H sharded too: the flag exists for
-        # resolutions exceeding one chip's HBM, and TEST.IMAGE_SIZE is the
-        # largest image in the run (round-2 advisor finding)
-        from functools import partial
-
-        from pidnet_tpu.parallel.spatial import make_spatial_eval_step, put_batch
-
-        eval_step = make_spatial_eval_step(
-            spec,
-            loss_fn,
-            spatial_mesh,
-            num_classes=cfg.DATASET.NUM_CLASSES,
-            compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_EVAL else None,
-        )
-        place_eval_batch = partial(put_batch, spatial_mesh)
-    else:
         eval_step = make_eval_step(
             spec,
             loss_fn,
