@@ -74,9 +74,12 @@ def main(argv=None):
 
     @jax.jit
     def infer(x):
+        # same folded pipeline as engine.make_inference*/bench (s2d stem +
+        # W-folded branch stages)
         pred = M.apply(
             params, state, x, spec, folded=folded,
             compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            stem_s2d=folded, wfold=folded,
         )
         if args.bf16:  # fused Pallas upsample+argmax on the speed path
             from pidnet_tpu.ops.upsample_argmax import upsample_argmax

@@ -144,9 +144,13 @@ def test_two_process_spatial_train_step(tmp_path):
     # looser than the dp test even at step 0: the partitioner's reduction
     # order differs across process topologies INSIDE the forward (global
     # BN stats, global OHEM top-k — discrete keep-set flips), not just in
-    # the metric pmean; observed ~2e-4 rel, margin ~10x (oneDNN CPU convs
-    # are run-to-run nondeterministic too)
-    for i, rtol in ((0, 2e-3), (1, 5e-3)):
+    # the metric pmean; observed ~2e-4 rel at step 0, margin ~10x (oneDNN
+    # CPU convs are run-to-run nondeterministic too). Step 1 compares
+    # losses after one SGD update at random init (head logits reach ±300,
+    # ~1% gradient noise — see test_spatial.py's smooth-loss analysis);
+    # with the W-folded conv core (spatial default) the cross-topology
+    # residual measured 9.5e-3 rel, bound 2e-2 (~2x margin).
+    for i, rtol in ((0, 2e-3), (1, 2e-2)):
         np.testing.assert_allclose(
             losses[(0, i)], oracle[i], rtol=rtol,
             err_msg=f"2-process dpsp step {i} loss != single-process oracle",
