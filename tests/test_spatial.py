@@ -164,6 +164,43 @@ def test_spatial_eval_step_matches_dp(rng):
         )
 
 
+def test_spatial_eval_step_ohem_budget(rng):
+    """OHEM-on spatial validation: at one data row the spatial program's
+    global OHEM pool (budget OHEMKEEP x n_data, n_data=1 — the tools/train
+    wiring) is the same pool as the per-shard DP criterion at batch 1, so
+    the losses must agree. Guards the round-3 review finding: an unscaled
+    budget at n_data>1 keeps n_data x fewer hard pixels per image and
+    inflates valid_loss relative to non-spatial runs."""
+    from pidnet_tpu.parallel import make_mesh, shard_batch
+    from pidnet_tpu.parallel.spatial import make_spatial_eval_step
+    from pidnet_tpu.train import make_eval_step
+
+    spec, params, state = _net(augment=True)
+    loss_fn = FullLoss(ignore_label=255, use_ohem=True, ohem_kept=500)
+    img = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (1, 128, 128)).astype(np.int32)
+    lab[0, :8] = 255
+    edge = (rng.random((1, 128, 128)) < 0.1).astype(np.float32)
+    mask = np.ones((1,), np.float32)
+
+    ts = TrainState.create(params, state)
+    dp_mesh = make_mesh(1)
+    m_dp, _ = make_eval_step(spec, loss_fn, dp_mesh, num_classes=19)(
+        ts, *shard_batch(dp_mesh, img, lab, edge, mask)
+    )
+
+    sp_mesh = make_mesh_2d(1, 4)
+    m_sp, _ = make_spatial_eval_step(spec, loss_fn, sp_mesh, num_classes=19)(
+        ts, *put_batch(sp_mesh, img, lab, edge, mask)
+    )
+    # OHEM's keep-set is discrete: partitioner reduction-order noise can
+    # flip pixels at the top-k threshold, so compare at the same tolerance
+    # as the OHEM-on train-step test
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_dp["loss"]), rtol=1e-3, atol=1e-4
+    )
+
+
 def _one_step_both_meshes(loss_fn):
     """Run one spatial train step on a (1,1) and a (2,4) mesh from the same
     init; returns (params_h, [(ts, metrics), (ts, metrics)])."""
