@@ -202,6 +202,12 @@ def default_config() -> ConfigNode:
                 "MODEL_FILE": "",
                 "FLIP_TEST": False,
                 "MULTI_SCALE": False,
+                # consumed by engine.make_ms_flip_inference when
+                # TEST.MULTI_SCALE is set (the reference declares the
+                # FLIP_TEST/MULTI_SCALE keys but dropped the HRNet
+                # implementation; this rebuild keeps them functional).
+                # Values are the standard HRNet/Cityscapes TTA sweep.
+                "SCALE_LIST": [0.5, 0.75, 1.0, 1.25, 1.5, 1.75],
                 "OUTPUT_INDEX": -1,
             },
         }

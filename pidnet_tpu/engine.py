@@ -266,6 +266,106 @@ def make_inference_classmap(
     return infer
 
 
+def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None):
+    """Multi-scale + flip test-time-augmentation inference closure.
+
+    Implements the `TEST.MULTI_SCALE` / `TEST.FLIP_TEST` config keys the
+    reference declares but never consumes (reference configs/default.py:84-85
+    — HRNet-lineage flags whose implementation was dropped; the reference is
+    single-scale only, SURVEY §2.6). Semantics follow the
+    HRNet-Semantic-Segmentation protocol the reference derives from
+    (reference README.md:74):
+
+      per scale s in TEST.SCALE_LIST: resize the image so its long side is
+      int(TEST.BASE_SIZE * s + 0.5) (aspect preserved); run the model on the
+      whole image if it fits TEST.IMAGE_SIZE, else on a grid of
+      TEST.IMAGE_SIZE windows with 2/3-overlap stride, count-averaging the
+      overlaps; flip-averaging (mean of the window's logits and the
+      un-flipped logits of the W-flipped window) happens per window before
+      exp(); per-scale exp'd probability maps are resized to the input size
+      and SUMMED over scales.
+
+    TPU-first structure: ONE jitted crop-size window program is reused for
+    every (scale, window) — all offsets/shapes are static Python ints, so
+    there is exactly one model compile; per-scale resizes re-trace per shape
+    (tiny programs). Returns (N,H,W,C) f32 summed probabilities, the same
+    contract as `make_inference` — testval/test/save_pred consume it
+    unchanged."""
+    from pidnet_tpu.models import pidnet as M
+
+    crop_h, crop_w = int(cfg.TEST.IMAGE_SIZE[1]), int(cfg.TEST.IMAGE_SIZE[0])
+    flip = bool(cfg.TEST.FLIP_TEST)
+    scales = (
+        [float(s) for s in cfg.TEST.SCALE_LIST] if cfg.TEST.MULTI_SCALE else [1.0]
+    )
+    align = cfg.MODEL.ALIGN_CORNERS
+    base = int(cfg.TEST.BASE_SIZE)
+    # HRNet window overlap: stride = 2/3 of the crop
+    stride_h, stride_w = max(1, round(crop_h * 2 / 3)), max(1, round(crop_w * 2 / 3))
+
+    @jax.jit
+    def _window_probs(params, state, x):
+        def logits(v):
+            out = M.apply(
+                params, state, v, spec, folded=folded, compute_dtype=compute_dtype,
+                stem_s2d=folded, wfold=folded,
+            )
+            if isinstance(out, (list, tuple)):
+                out = out[cfg.TEST.OUTPUT_INDEX]
+            return resize_bilinear(out, (v.shape[1], v.shape[2]), align).astype(
+                jnp.float32
+            )
+
+        z = logits(x)
+        if flip:
+            z = 0.5 * (z + logits(x[:, :, ::-1])[:, :, ::-1])
+        return jnp.exp(z)
+
+    def _scale_probs(x, nh: int, nw: int):
+        """Exp'd probabilities for one scale, at (nh, nw) resolution."""
+        xs = x if (nh, nw) == (x.shape[1], x.shape[2]) else resize_bilinear(
+            x, (nh, nw), False  # image resampling: half-pixel (cv2) convention
+        )
+        if nh <= crop_h and nw <= crop_w:
+            xp = jnp.pad(xs, ((0, 0), (0, crop_h - nh), (0, crop_w - nw), (0, 0)))
+            return _window_probs(params, state, xp)[:, :nh, :nw]
+        rows = 1 + max(0, -(-(nh - crop_h) // stride_h))
+        cols = 1 + max(0, -(-(nw - crop_w) // stride_w))
+        ph = stride_h * (rows - 1) + crop_h
+        pw = stride_w * (cols - 1) + crop_w
+        xp = jnp.pad(xs, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+        n, c = x.shape[0], spec.num_classes
+        acc = jnp.zeros((n, ph, pw, c), jnp.float32)
+        cnt = jnp.zeros((1, ph, pw, 1), jnp.float32)
+        for r in range(rows):
+            for q in range(cols):
+                r0, q0 = r * stride_h, q * stride_w
+                win = xp[:, r0 : r0 + crop_h, q0 : q0 + crop_w]
+                acc = acc.at[:, r0 : r0 + crop_h, q0 : q0 + crop_w].add(
+                    _window_probs(params, state, win)
+                )
+                cnt = cnt.at[:, r0 : r0 + crop_h, q0 : q0 + crop_w].add(1.0)
+        return (acc / cnt)[:, :nh, :nw]
+
+    def infer(x):
+        x = jnp.asarray(x)
+        n, ori_h, ori_w = x.shape[0], x.shape[1], x.shape[2]
+        final = None
+        for s in scales:
+            long_size = int(base * s + 0.5)
+            if ori_h > ori_w:
+                nh, nw = long_size, max(1, int(ori_w * long_size / ori_h + 0.5))
+            else:
+                nw, nh = long_size, max(1, int(ori_h * long_size / ori_w + 0.5))
+            p = _scale_probs(x, nh, nw)
+            if (nh, nw) != (ori_h, ori_w):
+                p = resize_bilinear(p, (ori_h, ori_w), False)
+            final = p if final is None else final + p
+        return final
+
+    return infer
+
+
 def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = False):
     """Labeled single-scale evaluation (reference utils/function.py:131-177)."""
     import os

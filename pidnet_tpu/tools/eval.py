@@ -101,20 +101,45 @@ def main(argv=None):
         spatial_mesh = make_mesh_2d(1, args.spatial)
         logger.info("=> spatial partitioning: H dim over %d devices", args.spatial)
 
-    # speed path: class-map inference (fused upsample+argmax, no full-res
-    # logits); parity path: exp'd full-res probabilities like the reference
-    make = engine.make_inference_classmap if args.fold_bn else engine.make_inference
-    infer = make(
-        cfg,
-        spec,
-        params,
-        state,
-        folded=args.fold_bn,
-        compute_dtype=(
-            jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
-        ),
-        spatial_mesh=spatial_mesh,
-    )
+    if cfg.TEST.MULTI_SCALE or cfg.TEST.FLIP_TEST:
+        # test-time augmentation: summed multi-scale (+flip-averaged)
+        # probabilities — argmax of a SUM is not per-program argmax, so
+        # this path always returns probability maps (no classmap kernel)
+        if args.spatial:
+            raise SystemExit(
+                "TEST.MULTI_SCALE/FLIP_TEST is a single-device TTA protocol; "
+                "drop --spatial or disable the TTA flags"
+            )
+        logger.info(
+            "=> TTA eval: scales %s, flip=%s",
+            cfg.TEST.SCALE_LIST if cfg.TEST.MULTI_SCALE else [1.0],
+            bool(cfg.TEST.FLIP_TEST),
+        )
+        infer = engine.make_ms_flip_inference(
+            cfg,
+            spec,
+            params,
+            state,
+            folded=args.fold_bn,
+            compute_dtype=(
+                jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
+            ),
+        )
+    else:
+        # speed path: class-map inference (fused upsample+argmax, no full-res
+        # logits); parity path: exp'd full-res probabilities like the reference
+        make = engine.make_inference_classmap if args.fold_bn else engine.make_inference
+        infer = make(
+            cfg,
+            spec,
+            params,
+            state,
+            folded=args.fold_bn,
+            compute_dtype=(
+                jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
+            ),
+            spatial_mesh=spatial_mesh,
+        )
 
     if "test" in cfg.DATASET.TEST_SET and "city" in cfg.DATASET.DATASET:
         engine.test(cfg, test_dataset, testloader, infer, sv_dir=final_output_dir)

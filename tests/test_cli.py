@@ -70,6 +70,14 @@ def test_train_eval_custom_cli(workspace):
     )
     assert any(f.endswith("_test.log") for f in os.listdir(out))
 
+    # TTA path: multi-scale + flip evaluation (TEST.MULTI_SCALE /
+    # TEST.FLIP_TEST — functional here, dead flags in the reference)
+    eval_tool.main(
+        ["--cfg", "tiny.yaml", "TEST.MODEL_FILE", f"{out}/best.msgpack",
+         "TEST.MULTI_SCALE", "true", "TEST.FLIP_TEST", "true",
+         "TEST.SCALE_LIST", "[0.5,1.0]"]
+    )
+
     # spatial partitioning path: same eval with the image H dim sharded
     # over 8 devices of the virtual CPU mesh (GSPMD halo exchange)
     eval_tool.main(
