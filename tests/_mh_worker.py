@@ -27,7 +27,7 @@ mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
 
 
-def barrier(name: str, timeout_s: float = 600.0) -> None:
+def barrier(name: str, timeout_s: float = 1100.0) -> None:
     """File barrier between the two ranks. Needed because gloo's TCP pair
     connect (first cross-process collective) times out in ~30 s: if one
     rank finishes XLA compilation minutes before the other (CPU

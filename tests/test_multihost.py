@@ -75,7 +75,9 @@ def _launch_two_process(tmp_path, mode: str):
         )
         for r in (0, 1)
     ]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    # generous: both ranks compile the full train step on what may be a
+    # single shared CPU core; 540s flaked under host contention
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}"
 
