@@ -20,6 +20,12 @@ exists for deployment workflows:
     # OIHW conv weights) loadable by the reference's get_seg_model
     python -m pidnet_tpu.tools.convert --a pidnet-s --c 19 --export \
         best.msgpack out/pidnet_s.pt
+
+    # self-contained AOT serving artifact (convert/aot.py): the folded
+    # bf16 inference pipeline lowered to StableHLO with weights baked in,
+    # runnable without model code via convert.aot.load_serving
+    python -m pidnet_tpu.tools.convert --a pidnet-s --c 19 --export-aot \
+        --r 1024 2048 best.msgpack out/pidnet_s_serve.jaxexp
 """
 
 from __future__ import annotations
@@ -56,6 +62,24 @@ def parse_args(argv=None):
         "the model's tensors (default: abort — a mismatched --a/--c would "
         "silently write a mostly-random-init model)",
     )
+    parser.add_argument(
+        "--export-aot",
+        action="store_true",
+        help="write a self-contained jax.export serving artifact (folded "
+        "bf16 pipeline + weights baked in, lowered for --platforms); "
+        "requires --r; run it with pidnet_tpu.convert.aot.load_serving",
+    )
+    parser.add_argument(
+        "--r", type=int, nargs=2, metavar=("H", "W"),
+        help="static input resolution for --export-aot",
+    )
+    parser.add_argument(
+        "--batch", type=int, default=1, help="static batch for --export-aot"
+    )
+    parser.add_argument(
+        "--platforms", nargs="+", default=["tpu", "cpu"],
+        help="lowering platforms for --export-aot",
+    )
     return parser.parse_args(argv)
 
 
@@ -67,7 +91,11 @@ def main(argv=None):
     from pidnet_tpu.tools import common
     from pidnet_tpu.train import checkpoint as ckpt
 
-    spec = M.spec_for(args.a, args.c, augment=not args.no_augment)
+    if args.export_aot and not args.r:
+        raise SystemExit("--export-aot needs a static input size: --r H W")
+    # the serving artifact lowers the single-head inference graph
+    augment = not args.no_augment and not args.export_aot
+    spec = M.spec_for(args.a, args.c, augment=augment)
     params, state = M.init(jax.random.PRNGKey(0), spec)
     n_model = len(params) + len(state)
     params, state, n_loaded = common.load_weights(args.src, params, state)
@@ -80,6 +108,21 @@ def main(argv=None):
         )
 
     os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
+    if args.export_aot:
+        from pidnet_tpu.convert.aot import export_serving
+
+        blob = export_serving(
+            params, state, spec, tuple(args.r),
+            batch=args.batch, platforms=tuple(args.platforms),
+        )
+        with open(args.dst, "wb") as f:
+            f.write(blob)
+        print(
+            f"wrote AOT serving artifact ({len(blob)/2**20:.1f} MiB, "
+            f"platforms={args.platforms}, input "
+            f"{args.batch}x{args.r[0]}x{args.r[1]}x3) to {args.dst}"
+        )
+        return
     if args.export:
         if args.fold:
             raise SystemExit("--export writes unfolded torch layout; drop --fold")
