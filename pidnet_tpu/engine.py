@@ -10,6 +10,7 @@ upsampled to input size (and `.exp()`, reference base_dataset.py:136-150).
 from __future__ import annotations
 
 import logging
+import math
 import time
 from functools import partial
 
@@ -57,9 +58,22 @@ def train_one_epoch(
     tic = time.time()
     cur_iters = epoch * epoch_iters
 
-    def fold(metrics):
-        """Pull a step's device scalars (sync point) into the meters."""
+    def fold(it, metrics):
+        """Pull a step's device scalars (sync point) into the meters.
+
+        Divergence guard (beyond-reference: utils/function.py:43-49 would
+        train on NaN forever): a non-finite loss aborts the run at the
+        meters' existing sync point — no extra device round-trips — so the
+        per-epoch checkpoint (tools/train.py) still holds the last finite
+        state to resume from after lowering TRAIN.LR.
+        """
         m = {k: float(v) for k, v in metrics.items()}
+        if not math.isfinite(m["loss"]):
+            raise FloatingPointError(
+                f"non-finite training loss {m['loss']} at epoch {epoch} "
+                f"iter {it} (global iter {it + cur_iters}) — diverged; "
+                "resume from the last checkpoint with a lower TRAIN.LR"
+            )
         ave_loss.update(m["loss"])
         ave_acc.update(m["acc"])
         avg_sem_loss.update(m["sem_loss"])
@@ -83,13 +97,13 @@ def train_one_epoch(
         lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 
         if pending is not None:
-            fold(pending)
-        pending = metrics
+            fold(*pending)
+        pending = (i_iter, metrics)
         batch_time.update(time.time() - tic)
         tic = time.time()
 
         if i_iter % cfg.PRINT_FREQ == 0:
-            fold(pending)
+            fold(*pending)
             pending = None
             log.info(
                 "Epoch: [%d/%d] Iter:[%d/%d], Time: %.2f, lr: [%s], "
@@ -109,7 +123,7 @@ def train_one_epoch(
             )
 
     if pending is not None:  # flush the final in-flight step's metrics
-        fold(pending)
+        fold(*pending)
 
     writer = writer_dict["writer"]
     writer.add_scalar("train_loss", ave_loss.average(), writer_dict["train_global_steps"])

@@ -77,3 +77,29 @@ def test_validate_pads_partial_batches(rng):
     assert 0.0 <= mean_iou <= 1.0
     assert np.isfinite(ave_loss)
     assert iou.shape == (19,)
+
+
+def test_train_one_epoch_aborts_on_nonfinite_loss(rng):
+    """Divergence guard: a NaN loss from the step must abort the epoch
+    with an actionable error, not be averaged into the meters forever."""
+    import pytest
+
+    cfg = default_config()
+    cfg.freeze()
+    mesh = make_mesh(8)
+    writer_dict = {"writer": TBWriter(""), "train_global_steps": 0}
+
+    calls = []
+
+    def bad_step(ts, images, labels, edges, lr):
+        calls.append(lr)
+        val = np.nan if len(calls) >= 2 else 1.0
+        return ts, {"loss": val, "acc": 0.5, "sem_loss": 0.4, "bce_loss": 0.1}
+
+    loader = _FakeLoader(rng)
+    loader.batches = loader.batches[:1] * 4  # 4 full batches
+    with pytest.raises(FloatingPointError, match="non-finite training loss"):
+        engine.train_one_epoch(
+            cfg, 0, 4, 16, 0.01, loader, bad_step, None, mesh, writer_dict,
+            place_batch=lambda *a: a,
+        )
