@@ -174,6 +174,12 @@ def default_config() -> ConfigNode:
                 "TRAIN_SET": "list/cityscapes/train.lst",
                 "EXTRA_TRAIN_SET": "",
                 "TEST_SET": "list/cityscapes/val.lst",
+                # new key (no reference analogue): memoize decoded
+                # images/labels + the deterministic Canny+dilate edge GT
+                # in host RAM — the per-epoch-invariant ~60% of the
+                # augmentation pipeline's CPU cost (~31 GB for full
+                # Cityscapes train; sized for a TPU host VM)
+                "CACHE": False,
             },
             "TRAIN": {
                 "IMAGE_SIZE": [1024, 1024],  # width * height

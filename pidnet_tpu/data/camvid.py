@@ -35,10 +35,11 @@ class CamVid(SegDataset):
         scale_factor: int = 16,
         bd_dilate_size: int = 4,
         seed: int = 304,
+        cache: bool = False,
     ):
         super().__init__(
             root, list_path, num_classes, multi_scale, flip, ignore_label,
-            base_size, crop_size, scale_factor, bd_dilate_size, seed,
+            base_size, crop_size, scale_factor, bd_dilate_size, seed, cache,
         )
         self.class_weights = None
         self.color_list = COLOR_LIST

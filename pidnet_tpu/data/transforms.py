@@ -46,13 +46,20 @@ def input_transform(image: np.ndarray, *, bgr_to_rgb: bool) -> np.ndarray:
 
 
 def gen_edge_gt(label: np.ndarray, *, edge_size: int = 4, edge_pad: bool = True) -> np.ndarray:
-    """Boundary supervision map from the label image."""
+    """Boundary supervision map from the label image.
+
+    Returned as uint8 {0,1}: the mask is binary, so carrying it through
+    the NEAREST multi-scale resize as u8 instead of f32 moves 4x fewer
+    bytes (the resize at large rand_scales is a host hot spot) with
+    bit-identical values; `gen_sample` converts to f32 at the very end.
+    Deterministic in `label` — cacheable per image (SegDataset cache).
+    """
     edge = cv2.Canny(label, 0.1, 0.2)
     kernel = np.ones((edge_size, edge_size), np.uint8)
     if edge_pad:
         edge = edge[Y_K_SIZE:-Y_K_SIZE, X_K_SIZE:-X_K_SIZE]
         edge = np.pad(edge, ((Y_K_SIZE, Y_K_SIZE), (X_K_SIZE, X_K_SIZE)), mode="constant")
-    return (cv2.dilate(edge, kernel, iterations=1) > 50).astype(np.float32)
+    return (cv2.dilate(edge, kernel, iterations=1) > 50).astype(np.uint8)
 
 
 def pad_image(image: np.ndarray, size: tuple[int, int], padvalue) -> np.ndarray:
@@ -119,9 +126,15 @@ def gen_sample(
     edge_pad: bool = True,
     edge_size: int = 4,
     bgr_to_rgb: bool = True,
+    edge: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full train-time pipeline -> (image HWC f32, label HW u8, edge HW f32)."""
-    edge = gen_edge_gt(label, edge_size=edge_size, edge_pad=edge_pad)
+    """Full train-time pipeline -> (image HWC f32, label HW u8, edge HW f32).
+
+    `edge` short-circuits the Canny+dilate stage with a precomputed
+    full-resolution u8 edge map (SegDataset's decoded-sample cache — the
+    edge GT is deterministic in the label)."""
+    if edge is None:
+        edge = gen_edge_gt(label, edge_size=edge_size, edge_pad=edge_pad)
 
     if multi_scale:
         rand_scale = 0.5 + int(rng.integers(0, scale_factor + 1)) / 10.0
@@ -144,6 +157,10 @@ def gen_sample(
 
         image = native.hflip_f32(image)
         label = label[:, ::-1]
-        edge = native.hflip_f32(edge)
+        edge = edge[:, ::-1]
 
-    return np.ascontiguousarray(image), np.ascontiguousarray(label), np.ascontiguousarray(edge)
+    return (
+        np.ascontiguousarray(image),
+        np.ascontiguousarray(label),
+        np.ascontiguousarray(edge, dtype=np.float32),
+    )

@@ -142,6 +142,7 @@ def main(argv=None):
         crop_size=crop_size,
         scale_factor=cfg.TRAIN.SCALE_FACTOR,
         seed=args.seed,
+        cache=cfg.DATASET.CACHE,
     )
     trainloader = Loader(
         train_dataset,

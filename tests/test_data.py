@@ -253,3 +253,25 @@ def test_camvid_color_mapping(tmp_path, rng):
     # CamVid normalizes without BGR flip (camvid.py:83-93)
     want = input_transform(img, bgr_to_rgb=False)
     np.testing.assert_allclose(img_s, want, atol=1e-6)
+
+
+def test_cache_matches_uncached(city_dir):
+    """DATASET.CACHE memoizes only the deterministic prefix (decode +
+    edge GT): every sample must be bit-identical to the uncached pipeline
+    across epochs, and repeated epochs must not mutate cached arrays."""
+    kw = dict(
+        root=city_dir, list_path="list/cityscapes/train.lst",
+        base_size=256, crop_size=(96, 192), seed=7,
+    )
+    plain = Cityscapes(**kw)
+    cached = Cityscapes(cache=True, **kw)
+    for epoch in (1, 2):
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for i in range(len(plain)):
+            for _ in range(2):  # second read exercises the cache hit
+                a = cached[i]
+                b = plain[i]
+                for x, y in zip(a[:3], b[:3]):
+                    np.testing.assert_array_equal(x, y)
+    assert len(cached._cache) == len(plain)
