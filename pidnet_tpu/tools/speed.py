@@ -37,6 +37,13 @@ def parse_args(argv=None):
         "batch, one-chip data mesh) instead of inference; reports ms/step "
         "and img/s. --batch is the per-shard batch (reference recipe: 6)",
     )
+    parser.add_argument(
+        "--aot",
+        metavar="ARTIFACT",
+        help="benchmark a serving artifact (tools/convert.py --export-aot) "
+        "under the same protocol instead of building a model; --a/--c/--r "
+        "are ignored — the artifact's baked-in input shape rules",
+    )
     return parser.parse_args(argv)
 
 
@@ -110,6 +117,21 @@ def measure_fps(fn, x, *, warmup: int = 10) -> tuple[float, float]:
 def main(argv=None):
     args = parse_args(argv)
     h, w = args.r
+    if args.aot:
+        from pidnet_tpu.convert.aot import load_serving
+
+        loaded = load_serving(args.aot)
+        (ishape,) = [tuple(s.shape) for s in loaded.in_avals]
+        fn = jax.jit(loaded.call)
+        x = jax.device_put(jnp.zeros(ishape, jnp.float32))
+        print("=========AOT Artifact Speed Testing=========")
+        latency, fps = measure_fps(fn, x)
+        n, ah, aw = ishape[0], ishape[1], ishape[2]
+        print(
+            f"{args.aot} {ah}x{aw} batch={n}: {latency:.3f} ms, "
+            f"{fps * n:.1f} FPS (f32 input -> full-res class map)"
+        )
+        return
     if args.train:
         print("=========Train-Step Speed Testing=========")
         ms, imgs = measure_train(args.a, args.c, (h, w), args.batch)

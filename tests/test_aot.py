@@ -84,3 +84,16 @@ def test_export_requires_resolution(tmp_path):
         convert_cli.main(
             [str(tmp_path / "x.msgpack"), str(tmp_path / "y"), "--export-aot"]
         )
+
+
+def test_speed_cli_aot_mode(net, tmp_path, capsys):
+    spec, params, state = net
+    blob = export_serving(params, state, spec, (64, 64), platforms=("cpu",))
+    p = tmp_path / "serve.jaxexp"
+    p.write_bytes(blob)
+    from pidnet_tpu.tools import speed
+
+    speed.main(["--aot", str(p)])
+    out = capsys.readouterr().out
+    assert "AOT Artifact Speed Testing" in out
+    assert "64x64 batch=1" in out and "FPS" in out
