@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import math
 import time
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -280,6 +280,29 @@ def make_inference_classmap(
     return infer
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_window(acc, win, r0, q0):
+    """acc[:, r0:r0+wh, q0:q0+ww] += win, in place (acc is donated).
+
+    Offsets are traced scalars so every window of a given canvas/window
+    shape reuses one compiled program; the donated buffer makes the
+    dynamic-update-slice an in-place write instead of a canvas copy."""
+    idx = (0, r0, q0, 0)
+    cur = jax.lax.dynamic_slice(acc, idx, win.shape)
+    return jax.lax.dynamic_update_slice(acc, cur + win, idx)
+
+
+@lru_cache(maxsize=8)
+def _overlap_count(rows, cols, stride_h, stride_w, crop_h, crop_w, ph, pw):
+    """(1, ph, pw, 1) f32 window-overlap counts — static per shape."""
+    cnt = np.zeros((1, ph, pw, 1), np.float32)
+    for r in range(rows):
+        for q in range(cols):
+            r0, q0 = r * stride_h, q * stride_w
+            cnt[:, r0 : r0 + crop_h, q0 : q0 + crop_w] += 1.0
+    return jnp.asarray(cnt)
+
+
 def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dtype=None):
     """Multi-scale + flip test-time-augmentation inference closure.
 
@@ -325,7 +348,12 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
                 stem_s2d=folded, wfold=folded,
             )
             if isinstance(out, (list, tuple)):
-                out = out[cfg.TEST.OUTPUT_INDEX]
+                if cfg.MODEL.NUM_OUTPUTS > 1:
+                    out = out[cfg.TEST.OUTPUT_INDEX]
+                else:
+                    raise ValueError(
+                        "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
+                    )
             return resize_bilinear(out, (v.shape[1], v.shape[2]), align).astype(
                 jnp.float32
             )
@@ -349,27 +377,37 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
         pw = stride_w * (cols - 1) + crop_w
         xp = jnp.pad(xs, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
         n, c = x.shape[0], spec.num_classes
+        # Window accumulation runs through ONE donated jitted update (an
+        # in-place dynamic-update-slice with traced offsets) instead of
+        # eager .at[].add — the eager form copied the whole (N,ph,pw,C)
+        # canvas once per window. The overlap count is a deterministic
+        # function of static shapes: precomputed host-side, cached.
         acc = jnp.zeros((n, ph, pw, c), jnp.float32)
-        cnt = jnp.zeros((1, ph, pw, 1), jnp.float32)
         for r in range(rows):
             for q in range(cols):
                 r0, q0 = r * stride_h, q * stride_w
                 win = xp[:, r0 : r0 + crop_h, q0 : q0 + crop_w]
-                acc = acc.at[:, r0 : r0 + crop_h, q0 : q0 + crop_w].add(
-                    _window_probs(params, state, win)
-                )
-                cnt = cnt.at[:, r0 : r0 + crop_h, q0 : q0 + crop_w].add(1.0)
+                acc = _acc_window(acc, _window_probs(params, state, win), r0, q0)
+        cnt = _overlap_count(rows, cols, stride_h, stride_w, crop_h, crop_w, ph, pw)
         return (acc / cnt)[:, :nh, :nw]
+
+    multi_scale = bool(cfg.TEST.MULTI_SCALE)
 
     def infer(x):
         x = jnp.asarray(x)
         n, ori_h, ori_w = x.shape[0], x.shape[1], x.shape[2]
         final = None
         for s in scales:
-            long_size = int(base * s + 0.5)
-            if ori_h > ori_w:
+            if not multi_scale:
+                # flip-only TTA: native resolution, no resample — the
+                # reference's flip protocol never rescales
+                # (reference datasets/base_dataset.py inference()).
+                nh, nw = ori_h, ori_w
+            elif ori_h > ori_w:
+                long_size = int(base * s + 0.5)
                 nh, nw = long_size, max(1, int(ori_w * long_size / ori_h + 0.5))
             else:
+                long_size = int(base * s + 0.5)
                 nw, nh = long_size, max(1, int(ori_h * long_size / ori_w + 0.5))
             p = _scale_probs(x, nh, nw)
             if (nh, nw) != (ori_h, ori_w):

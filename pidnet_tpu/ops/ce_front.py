@@ -62,6 +62,12 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _pad16(x: int) -> int:
+    # bf16 sublane tile is (16,128): bf16 blocks pad the second-to-last
+    # dim to 16, not the f32 tile's 8.
+    return -(-x // 16) * 16
+
+
 def _footprint(h: int, w: int, c: int, th: int, tw: int, *, bwd: bool) -> int:
     """Model of the kernel's scoped-VMEM bytes for one grid step.
 
@@ -71,22 +77,22 @@ def _footprint(h: int, w: int, c: int, th: int, tw: int, *, bwd: bool) -> int:
     padding is applied as Mosaic would.
     """
     wp, hp = _pad128(w), _pad8(h)
-    a = th * _pad128(h) * 2
-    l = c * _pad8(h) * wp * 2  # noqa: E741
-    bt = _pad8(w) * tw * 2
-    lab = th * tw * 4
-    scratch = _pad8(h) * c * tw * 2
-    v = th * c * tw * 4  # the H-interp matmul result, live in f32
-    ew = 4 * th * tw * 4  # m/s/z-or-p temporaries
+    a = _pad16(th) * _pad128(h) * 2
+    l = c * _pad16(h) * wp * 2  # noqa: E741
+    bt = _pad16(w) * tw * 2
+    lab = _pad8(th) * tw * 4
+    scratch = _pad16(h) * c * tw * 2
+    v = _pad8(th) * c * tw * 4  # the H-interp matmul result, live in f32
+    ew = 4 * _pad8(th) * tw * 4  # m/s/z-or-p temporaries
     total = 2 * (a + l + bt + lab) + scratch + v + ew
     if bwd:
         b = tw * wp * 2
-        g = th * tw * 4
+        g = _pad8(th) * tw * 4
         dl = c * hp * wp * 4  # revisited accumulator block, single copy
-        tmp = th * tw * 2 + th * wp * 4 + hp * wp * 4  # dz, t1, t2
+        tmp = _pad16(th) * tw * 2 + _pad8(th) * wp * 4 + hp * wp * 4  # dz, t1, t2
         total += 2 * (b + g) + dl + tmp
     else:
-        total += 2 * 2 * th * tw * 4  # nll + w output blocks
+        total += 2 * 2 * _pad8(th) * tw * 4  # nll + w output blocks
     return total
 
 

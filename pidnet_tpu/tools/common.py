@@ -41,7 +41,7 @@ def _read_msgpack(path: str) -> dict:
     return _read_msgpack_cached(path, st.st_mtime_ns, st.st_size)
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=1)  # dedup probe+load only; don't pin old payloads
 def _read_msgpack_cached(path: str, _mtime_ns: int, _size: int) -> dict:
     from pidnet_tpu.train import checkpoint as ckpt
 
