@@ -200,6 +200,13 @@ def default_config() -> ConfigNode:
                 "RESUME": False,
                 "BATCH_SIZE_PER_GPU": 32,
                 "SHUFFLE": True,
+                # new key (no reference analogue): sequential gradient
+                # accumulation as VIRTUAL data-parallel shards — global
+                # batch = BATCH_SIZE_PER_GPU x devices x ACCUM_STEPS, and
+                # every microbatch keeps per-shard BN/OHEM semantics, so
+                # one chip reproduces the reference's multi-GPU recipe
+                # exactly (train/step.py accum_steps docstring)
+                "ACCUM_STEPS": 1,
             },
             "TEST": {
                 "IMAGE_SIZE": [2048, 1024],  # width * height

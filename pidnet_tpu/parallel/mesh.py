@@ -53,3 +53,28 @@ def shard_batch(mesh: Mesh, *arrays):
     else:
         out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def shard_microbatches(mesh: Mesh, accum: int, *arrays):
+    """Device-put `(A*G, ...)` host batches as `(A, G, ...)` microbatch
+    stacks with dim 1 sharded over the data axis — the input layout of
+    `train.step.make_train_step(accum_steps=A)`. The host-side reshape is
+    free (row-major contiguity), and consecutive `G`-sized chunks become
+    microbatches, so sample→virtual-shard assignment matches a physical
+    `A×n`-device mesh chunk-for-chunk. Multi-process: each process passes
+    its local `(A*G_local, ...)` portion, assembled along dim 1."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    def put(a):
+        a = np.asarray(a)
+        if a.shape[0] % accum != 0:
+            raise ValueError(
+                f"batch of {a.shape[0]} does not split into {accum} microbatches"
+            )
+        a = a.reshape(accum, a.shape[0] // accum, *a.shape[1:])
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(s, a)
+        return jax.device_put(a, s)
+
+    out = tuple(put(a) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -125,9 +125,19 @@ def main(argv=None):
     params, state = common.init_model(cfg, spec, seed=args.seed)
     params, state = common.maybe_load_pretrained(cfg, params, state)
 
-    # global batch = per-device x data-shard count (reference
-    # tools/train.py:82,152); each process loads its rank-strided 1/n_proc
-    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_data
+    accum = int(cfg.TRAIN.ACCUM_STEPS)
+    if accum < 1:
+        raise RuntimeError(f"TRAIN.ACCUM_STEPS must be >= 1, got {accum}")
+    if accum > 1 and args.spatial:
+        # the spatial step is one global-batch program (global OHEM pool,
+        # sync-BN semantics) — sequential virtual DP shards don't compose
+        # with it; shard more/larger devices instead
+        raise RuntimeError("TRAIN.ACCUM_STEPS > 1 does not compose with --spatial")
+
+    # global batch = per-device x data-shard count x accumulation steps
+    # (reference tools/train.py:82,152); each process loads its
+    # rank-strided 1/n_proc
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_data * accum
     local_batch = batch_size // n_proc
     crop_size = (cfg.TRAIN.IMAGE_SIZE[1], cfg.TRAIN.IMAGE_SIZE[0])
     train_dataset = build_dataset(
@@ -257,7 +267,18 @@ def main(argv=None):
             sync_bn=cfg.XLA.SYNC_BN,
             compute_dtype=jnp.bfloat16 if cfg.XLA.BF16_TRAIN else None,
             pad_batch=cfg.XLA.PAD_BATCH,
+            accum_steps=accum,
         )
+        if accum > 1:
+            from pidnet_tpu.parallel.mesh import shard_microbatches
+
+            logger.info(
+                "gradient accumulation: %d microbatches of %d = global batch %d",
+                accum, batch_size // accum, batch_size,
+            )
+            place_batch = (
+                lambda *arrays: shard_microbatches(mesh, accum, *arrays)
+            )
         eval_step = make_eval_step(
             spec,
             loss_fn,

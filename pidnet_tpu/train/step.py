@@ -84,6 +84,7 @@ def make_train_step(
     stem_s2d: bool = True,
     wfold: bool = True,
     pad_batch: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted DP train step.
 
@@ -91,6 +92,20 @@ def make_train_step(
     images NHWC f32 (sharded on dim 0), labels int32, edges f32.
     `stem_s2d` runs the network front in space-to-depth layout (identical
     math and checkpoints, ~MXU-friendlier; models.pidnet.stem_front_live).
+
+    `accum_steps=A > 1` turns the step into A sequential microbatches
+    over VIRTUAL data-parallel shards: inputs arrive as `(A, G, ...)`
+    stacks (parallel.mesh.shard_microbatches), a `lax.scan` runs each
+    `(G, ...)` microbatch through the same per-shard shard_map program
+    (per-virtual-shard BN statistics and OHEM pools, exactly like A×n
+    physical DataParallel replicas), gradients/metrics are averaged over
+    microbatches, and BN running-stat updates — each computed from the
+    step's INITIAL state — are averaged like the cross-shard pmean, so
+    the update equals a physical A×n-device mesh's. One SGD update per
+    step; global batch = A × n × per-shard. This reproduces the
+    reference's multi-GPU global-batch recipe (e.g. 2 GPUs × batch 6,
+    reference tools/train.py:82,136) on fewer chips with identical
+    semantics (tests/test_accum.py pins virtual == physical).
 
     `pad_batch` pads each shard's batch up to the next multiple of 8 with
     masked duplicate samples. TPU tiles put the batch dim on the 8-wide
@@ -151,9 +166,25 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(ts: TrainState, images, labels, edges, lr):
-        grads, new_state, metrics = sharded(
-            ts.params, ts.state, images, labels, edges
-        )
+        if accum_steps == 1:
+            grads, new_state, metrics = sharded(
+                ts.params, ts.state, images, labels, edges
+            )
+        else:
+
+            def body(g_acc, micro):
+                g, st, mt = sharded(ts.params, ts.state, *micro)
+                return jax.tree.map(jnp.add, g_acc, g), (st, mt)
+
+            g_sum, (states, mets) = jax.lax.scan(
+                body,
+                jax.tree.map(jnp.zeros_like, ts.params),
+                (images, labels, edges),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            new_state = jax.tree.map(lambda s: jnp.mean(s, axis=0), states)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mets)
         new_params, new_bufs = _sgd(
             ts.params, grads, ts.momentum, lr, momentum, weight_decay, nesterov
         )

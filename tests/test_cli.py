@@ -85,6 +85,12 @@ def test_train_eval_custom_cli(workspace):
          "TEST.MODEL_FILE", f"{out}/best.msgpack"]
     )
 
+    # gradient-accumulation path: one epoch with 2 sequential virtual
+    # DP shards on 1 device (global batch 2x1x2 = 4, TRAIN.ACCUM_STEPS)
+    os.remove(f"{out}/final_state.msgpack")
+    train.main(["--cfg", "tiny.yaml", "DEVICES", "1", "TRAIN.ACCUM_STEPS", "2"])
+    assert os.path.isfile(f"{out}/final_state.msgpack")
+
     # spatial TRAINING path: one epoch on a (1 data, 2 spatial) mesh
     # (global-batch sync-BN/OHEM semantics, parallel/spatial.py); remove
     # the artifact first so the assertion checks THIS run's checkpoint
