@@ -38,12 +38,18 @@ def train_one_epoch(
     mesh,
     writer_dict,
     place_batch=None,
+    should_stop=None,
 ):
     """One training epoch (reference utils/function.py:21-75).
 
     `place_batch(images, labels, edges)` puts a host batch onto devices;
     default = `shard_batch(mesh, ...)` (1-D data mesh). The spatial
     training path passes `parallel.spatial.put_batch` over its 2-D mesh.
+
+    `should_stop()` (optional) is polled at each step boundary; when it
+    returns True the epoch stops early with meters flushed — the hook for
+    graceful preemption (tools/train.py installs a SIGTERM handler that
+    sets it, then checkpoints and exits cleanly).
     """
     from pidnet_tpu.train import poly_lr
 
@@ -86,6 +92,11 @@ def train_one_epoch(
     # the reference's exact meter semantics (utils/function.py:26-72).
     pending = None
     for i_iter, (images, labels, edges, _, _) in enumerate(loader):
+        if should_stop is not None and should_stop():
+            log.info(
+                "stop requested — ending epoch %d early at iter %d", epoch, i_iter
+            )
+            break
         # Exact reference schedule: adjust_learning_rate runs AFTER
         # optimizer.step() (utils/function.py:49,61-64), so the update at
         # global iter g is applied with poly(g-1) — poly(0)=base_lr covers

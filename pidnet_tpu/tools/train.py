@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import timeit
 
 import numpy as np
@@ -315,13 +316,49 @@ def main(argv=None):
 
         jax.profiler.start_trace(cfg.XLA.PROFILE_DIR)
 
+    # Graceful preemption (beyond-reference; the reference only has
+    # crash-resume, SURVEY §5): TPU VMs are routinely preempted with a
+    # SIGTERM grace window. The handler only sets a flag; the epoch loop
+    # stops at the next step boundary, writes the regular resume
+    # checkpoint tagged with the CURRENT epoch (so TRAIN.RESUME re-runs
+    # the interrupted epoch — same epoch-granular semantics as the
+    # reference's resume, reference tools/train.py:156-167) and exits
+    # cleanly. Multi-process: every process must receive the signal (the
+    # norm for preemptions); a process that misses it would block at the
+    # next collective.
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+        logger.info(
+            "SIGTERM — will checkpoint and exit at the next step boundary"
+        )
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. embedded use) — skip
+        prev_sigterm = None
+
     valid_loss, mean_iou, iou_array = float("nan"), 0.0, None
     for epoch in range(last_epoch, real_end):
         ts = engine.train_one_epoch(
             cfg, epoch, epoch_iters, num_iters, cfg.TRAIN.LR,
             trainloader, train_step, ts, mesh, writer_dict,
             place_batch=place_batch,
+            should_stop=lambda: stop_requested["flag"],
         )
+        if stop_requested["flag"]:
+            if is_primary:
+                logger.info(
+                    "=> preemption checkpoint (epoch %d interrupted) to %s",
+                    epoch, final_output_dir,
+                )
+                ckpt.save_train_checkpoint(final_output_dir, epoch, best_miou, ts)
+            writer_dict["writer"].close()
+            logger.info("exiting on SIGTERM; resume with TRAIN.RESUME true")
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            return
 
         if (
             flag_rm == 1
@@ -360,6 +397,8 @@ def main(argv=None):
             os.path.join(final_output_dir, "final_state.msgpack"), ts.params, ts.state
         )
     writer_dict["writer"].close()
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info("Hours: %d", int((timeit.default_timer() - start) / 3600))
     logger.info("Done")
 
