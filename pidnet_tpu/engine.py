@@ -136,9 +136,12 @@ def train_one_epoch(
     if pending is not None:  # flush the final in-flight step's metrics
         fold(*pending)
 
-    writer = writer_dict["writer"]
-    writer.add_scalar("train_loss", ave_loss.average(), writer_dict["train_global_steps"])
-    writer_dict["train_global_steps"] += 1
+    if ave_loss.count:  # a zero-step epoch (e.g. stop at iter 0) has no loss
+        writer = writer_dict["writer"]
+        writer.add_scalar(
+            "train_loss", ave_loss.average(), writer_dict["train_global_steps"]
+        )
+        writer_dict["train_global_steps"] += 1
     return ts
 
 

@@ -134,6 +134,17 @@ def main(argv=None):
         # sync-BN semantics) — sequential virtual DP shards don't compose
         # with it; shard more/larger devices instead
         raise RuntimeError("TRAIN.ACCUM_STEPS > 1 does not compose with --spatial")
+    if accum > 1 and cfg.XLA.SYNC_BN:
+        # sync-BN pmeans batch statistics over the PHYSICAL shards of each
+        # sequential microbatch only — there is no collective across scan
+        # iterations — so the result would NOT match a physical A x n-device
+        # sync-BN mesh (the equivalence ACCUM_STEPS promises). Refuse rather
+        # than silently train with different normalization semantics.
+        raise RuntimeError(
+            "TRAIN.ACCUM_STEPS > 1 does not compose with XLA.SYNC_BN: "
+            "microbatches run sequentially, so BN stats cannot sync across "
+            "them; use per-shard BN (default) or more physical devices"
+        )
 
     # global batch = per-device x data-shard count x accumulation steps
     # (reference tools/train.py:82,152); each process loads its
@@ -329,10 +340,10 @@ def main(argv=None):
     stop_requested = {"flag": False}
 
     def _on_sigterm(signum, frame):
+        # flag only — logging here could re-enter a non-reentrant stream
+        # writer if the signal lands mid-emit on the main thread; the epoch
+        # loop logs the stop at the next step boundary instead
         stop_requested["flag"] = True
-        logger.info(
-            "SIGTERM — will checkpoint and exit at the next step boundary"
-        )
 
     try:
         prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -348,6 +359,10 @@ def main(argv=None):
             should_stop=lambda: stop_requested["flag"],
         )
         if stop_requested["flag"]:
+            if cfg.XLA.PROFILE_DIR and epoch == last_epoch:
+                import jax
+
+                jax.profiler.stop_trace()  # flush the first-epoch trace
             if is_primary:
                 logger.info(
                     "=> preemption checkpoint (epoch %d interrupted) to %s",

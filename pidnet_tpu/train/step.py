@@ -119,6 +119,15 @@ def make_train_step(
     (tests/test_train_step.py::test_pad_batch_*).
     """
 
+    if accum_steps > 1 and sync_bn:
+        # BN stats cannot sync across sequential scan microbatches, so the
+        # A x n-physical-mesh equivalence above would silently not hold
+        raise ValueError(
+            "accum_steps > 1 does not compose with sync_bn: microbatches "
+            "run sequentially and their BN statistics cannot be pmean'd "
+            "together; use per-shard BN or more physical devices"
+        )
+
     n_shards = mesh.shape[DATA_AXIS]
 
     def shard_loss(params, state, images, labels, edges):

@@ -120,3 +120,11 @@ def test_shard_microbatches_layout():
     np.testing.assert_array_equal(np.asarray(y[1, :, 0]), np.arange(12, 24))
     with pytest.raises(ValueError):
         shard_microbatches(mesh, 5, x)
+
+
+def test_accum_rejects_sync_bn(init):
+    """sync-BN can only pmean within one microbatch's physical shards, so
+    the physical-mesh equivalence would silently not hold — refused."""
+    params, state, loss_fn = init
+    with pytest.raises(ValueError, match="sync_bn"):
+        make_train_step(SPEC, loss_fn, make_mesh(1), accum_steps=2, sync_bn=True)

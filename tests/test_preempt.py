@@ -83,8 +83,15 @@ def test_sigterm_checkpoints_and_exits(workspace):
     ).strip()
 
     out_dir = workspace / "output/cityscapes/tiny"
+    # the ambient axon sitecustomize overrides JAX_PLATFORMS at interpreter
+    # start (see tests/conftest.py), so the subprocess must ALSO pin the
+    # platform via jax.config before any backend initializes
+    stub = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from pidnet_tpu.tools.train import main; main()"
+    )
     proc = subprocess.Popen(
-        [sys.executable, "-m", "pidnet_tpu.tools.train", "--cfg", "tiny.yaml"],
+        [sys.executable, "-c", stub, "--cfg", "tiny.yaml"],
         env=env, cwd=workspace,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
