@@ -45,22 +45,25 @@ def fold_params(params: dict, state: dict, spec) -> dict:
             if has_bias:
                 folded[name + ".bias"] = params[name + ".bias"]
 
+    # standalone BNs (the pre-activation ones in segmenthead/DAPPM/PAPPM/
+    # Bag) become per-channel affines
+    for bn_name in traced.bns:
+        if bn_name in paired_bns:
+            continue  # merged into a conv above
+        g = params[bn_name + ".weight"]
+        b = params[bn_name + ".bias"]
+        m = state[bn_name + ".running_mean"]
+        v = state[bn_name + ".running_var"]
+        scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))
+        folded[bn_name + ".scale"] = scale
+        folded[bn_name + ".shift"] = b - m * scale
+
     # space-to-depth variants of the front of the network (stem + layer1 +
     # layer2.0's strided convs — identical math, MXU-friendly; consumed by
     # apply(..., stem_s2d=True), see models.pidnet._ApplyOps.stem_front).
     # Only architectures with the PIDNet/DDRNet stem layout have them;
     # other specs (e.g. BiSeNet) simply fold without an s2d front.
     if "conv1.0.weight" not in folded or not hasattr(spec, "m"):
-        for bn_name in traced.bns:
-            if bn_name in paired_bns:
-                continue
-            g = params[bn_name + ".weight"]
-            b = params[bn_name + ".bias"]
-            m = state[bn_name + ".running_mean"]
-            v = state[bn_name + ".running_var"]
-            scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))
-            folded[bn_name + ".scale"] = scale
-            folded[bn_name + ".shift"] = b - m * scale
         return folded
 
     from pidnet_tpu.ops.space_to_depth import (
@@ -86,15 +89,4 @@ def fold_params(params: dict, state: dict, spec) -> dict:
         s2d(f"layer1.{i}.conv2", 2, 1)
     s2d("layer2.0.conv1", 2, 2)
     s2d("layer2.0.downsample.0", 2, 2)
-
-    for bn_name in traced.bns:
-        if bn_name in paired_bns:
-            continue  # merged into a conv above
-        g = params[bn_name + ".weight"]
-        b = params[bn_name + ".bias"]
-        m = state[bn_name + ".running_mean"]
-        v = state[bn_name + ".running_var"]
-        scale = g * jnp.reciprocal(jnp.sqrt(v + BN_EPS))
-        folded[bn_name + ".scale"] = scale
-        folded[bn_name + ".shift"] = b - m * scale
     return folded

@@ -47,6 +47,19 @@ class Loader:
         self.shard_index = shard_index
         self._rng = np.random.default_rng(seed)
         self.epoch = 0
+        # Wrap-pad accounting (engine.validate uses it to mask duplicate
+        # samples out of the confusion matrices so multi-process mIoU is
+        # exact): with num_shards > 1 the padded positions n..n+n_pad-1
+        # land round-robin on ranks n%S.., i.e. AT MOST ONE duplicate per
+        # rank, always the LAST sample of that rank's epoch order.
+        n = len(dataset)
+        n_pad = (-n % num_shards) if num_shards > 1 else 0
+        n_local = (n + n_pad) // num_shards if num_shards > 1 else n
+        n_dup = sum(
+            1 for p in range(n, n + n_pad) if p % num_shards == shard_index
+        )
+        #: real (non-duplicate) samples this rank contributes per epoch
+        self.samples_per_epoch = n_local - n_dup
 
     def _shard_order(self):
         order = np.arange(len(self.dataset))

@@ -39,8 +39,10 @@ def _try_build() -> None:
 
 
 _lib = None
-if not os.path.isfile(_LIB_PATH):
-    _try_build()
+# run make even when the .so exists: the build is incremental (near-free
+# when up to date) and keeps the binary coherent with edited native/
+# sources instead of silently loading a stale kernel
+_try_build()
 if os.path.isfile(_LIB_PATH):
     try:
         _lib = ctypes.CDLL(_LIB_PATH)

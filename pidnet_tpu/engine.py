@@ -103,7 +103,7 @@ def train_one_epoch(
         # the very first step — while the log line prints poly(g).
         g = i_iter + cur_iters
         lr = poly_lr(base_lr, num_iters, max(0, g - 1))
-        batch = place_batch(images, labels.astype(np.int32), edges)
+        batch = place_batch(images, np.asarray(labels, np.int32), edges)
         ts, metrics = step_fn(ts, *batch, lr)
         lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 
@@ -146,18 +146,36 @@ def train_one_epoch(
 
 
 def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2,
-             place_batch=None):
+             place_batch=None, should_stop=None):
     """Loss + per-output confusion matrices (reference utils/function.py:77-128).
     Returns (ave_loss, mean_IoU of the last output, its IoU array).
     `place_batch` overrides the default 1-D-mesh batch placement (the
     --spatial path passes parallel.spatial.put_batch so each sample's H
-    spans the spatial axis and eval_step is the spatial GSPMD step)."""
+    spans the spatial axis and eval_step is the spatial GSPMD step).
+
+    `should_stop()` (optional) is polled per batch — a preemption SIGTERM
+    landing mid-validation (minutes over the full val set) must not burn
+    the whole grace window; the partial results are returned and the
+    caller checks the flag before using them (tools/train.py skips the
+    best-model decision and checkpoints immediately).
+    """
     ave_loss = AverageMeter()
     num_classes = cfg.DATASET.NUM_CLASSES
     cms = np.zeros((num_outputs, num_classes, num_classes), np.float64)
     batch_size = loader.batch_size
+    # multi-process loaders wrap-pad each rank's epoch to equal batch
+    # counts (DistributedSampler semantics); the duplicates sit at the
+    # TAIL of the rank's order — mask them so their pixels don't enter
+    # the confusion matrices twice and mIoU matches a 1-process run
+    n_real_epoch = getattr(loader, "samples_per_epoch", None)
+    stopped = False
+    n_seen = 0
 
     for idx, (images, labels, edges, _, _) in enumerate(loader):
+        if should_stop is not None and should_stop():
+            log.info("stop requested — ending validation early at batch %d", idx)
+            stopped = True
+            break
         n_real = images.shape[0]
         if n_real < batch_size:
             # pad the final partial batch so it still shards over the mesh;
@@ -170,13 +188,16 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
             )
             edges = np.concatenate([edges, np.zeros((pad, *edges.shape[1:]), edges.dtype)])
         mask = (np.arange(batch_size) < n_real).astype(np.float32)
+        if n_real_epoch is not None:
+            mask *= (n_seen + np.arange(batch_size) < n_real_epoch).astype(np.float32)
+        n_seen += n_real
         place = place_batch if place_batch is not None else partial(shard_batch, mesh)
-        batch = place(images, labels.astype(np.int32), edges, mask)
+        batch = place(images, np.asarray(labels, np.int32), edges, mask)
         metrics, batch_cms = eval_step(ts, *batch)
         cms += np.asarray(batch_cms, np.float64)
-        # weight by real-sample count so the padded final batch doesn't
+        # weight by real-sample count so padded/duplicate samples don't
         # skew the epoch average
-        ave_loss.update(float(metrics["loss"]), n_real)
+        ave_loss.update(float(metrics["loss"]), float(mask.sum()))
         if idx % 10 == 0:
             log.info("validating: %d", idx)
 
@@ -185,11 +206,27 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
         log.info("%d %s %s", i, iou, miou)
     iou_array, mean_iou = iou_from_cm(cms[-1])
 
-    writer = writer_dict["writer"]
-    writer.add_scalar("valid_loss", ave_loss.average(), writer_dict["valid_global_steps"])
-    writer.add_scalar("valid_mIoU", mean_iou, writer_dict["valid_global_steps"])
-    writer_dict["valid_global_steps"] += 1
+    if not stopped:
+        writer = writer_dict["writer"]
+        writer.add_scalar("valid_loss", ave_loss.average(), writer_dict["valid_global_steps"])
+        writer.add_scalar("valid_mIoU", mean_iou, writer_dict["valid_global_steps"])
+        writer_dict["valid_global_steps"] += 1
     return ave_loss.average(), mean_iou, iou_array
+
+
+def _select_output(cfg, out):
+    """Pick TEST.OUTPUT_INDEX from a multi-output model result (reference
+    base_dataset.py:140-141). NUM_OUTPUTS==1 with a multi-output
+    (augment=True) model is a misconfiguration; error rather than silently
+    argmax-ing the 1-channel boundary head."""
+    if isinstance(out, (list, tuple)):
+        if cfg.MODEL.NUM_OUTPUTS > 1:
+            return out[cfg.TEST.OUTPUT_INDEX]
+        raise ValueError(
+            "model returned multiple outputs but MODEL.NUM_OUTPUTS==1; "
+            "set MODEL.NUM_OUTPUTS and TEST.OUTPUT_INDEX consistently"
+        )
+    return out
 
 
 def _spatial_jit_opts(spatial_mesh):
@@ -228,18 +265,7 @@ def make_inference(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
             stem_s2d=folded, wfold=folded, shard_hint=hint,
         )
-        if isinstance(out, (list, tuple)):
-            if cfg.MODEL.NUM_OUTPUTS > 1:
-                out = out[cfg.TEST.OUTPUT_INDEX]
-            else:
-                # NUM_OUTPUTS==1 with a multi-output (augment=True) model is
-                # a misconfiguration; the reference errors here rather than
-                # silently argmax-ing the 1-channel boundary head
-                # (base_dataset.py:140-141)
-                raise ValueError(
-                    "model returned multiple outputs but MODEL.NUM_OUTPUTS==1; "
-                    "set MODEL.NUM_OUTPUTS and TEST.OUTPUT_INDEX consistently"
-                )
+        out = _select_output(cfg, out)
         pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
         return jnp.exp(pred.astype(jnp.float32))
 
@@ -277,13 +303,7 @@ def make_inference_classmap(
                 params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
                 stem_s2d=folded, wfold=folded, shard_hint=hint,
             )
-            if isinstance(out, (list, tuple)):
-                if cfg.MODEL.NUM_OUTPUTS > 1:
-                    out = out[cfg.TEST.OUTPUT_INDEX]
-                else:
-                    raise ValueError(
-                        "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
-                    )
+            out = _select_output(cfg, out)
             return upsample_argmax(
                 out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
             )
@@ -361,13 +381,7 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
                 params, state, v, spec, folded=folded, compute_dtype=compute_dtype,
                 stem_s2d=folded, wfold=folded,
             )
-            if isinstance(out, (list, tuple)):
-                if cfg.MODEL.NUM_OUTPUTS > 1:
-                    out = out[cfg.TEST.OUTPUT_INDEX]
-                else:
-                    raise ValueError(
-                        "model returned multiple outputs but MODEL.NUM_OUTPUTS==1"
-                    )
+            out = _select_output(cfg, out)
             return resize_bilinear(out, (v.shape[1], v.shape[2]), align).astype(
                 jnp.float32
             )
@@ -444,7 +458,7 @@ def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = Fal
         pred = infer(jnp.asarray(images))
         cm += np.asarray(
             confusion_matrix(
-                pred, jnp.asarray(labels.astype(np.int32)), num_classes,
+                pred, jnp.asarray(labels, jnp.int32), num_classes,
                 cfg.TRAIN.IGNORE_LABEL,
             ),
             np.float64,

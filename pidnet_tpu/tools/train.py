@@ -303,7 +303,13 @@ def main(argv=None):
 
     ts = TrainState.create(params, state)
 
-    epoch_iters = len(train_dataset) // batch_size
+    # steps per epoch = this rank's actual batch count. Single-process this
+    # IS the reference's len(ds)//global_batch (tools/train.py:152);
+    # multi-process the loader wrap-pads ranks to equal counts
+    # (DistributedSampler semantics), giving one more step than the global
+    # formula — using the loader keeps the poly-LR schedule and the
+    # Iter:[i/N] bookkeeping aligned with the steps that actually run.
+    epoch_iters = len(trainloader)
     best_miou = 0.0
     last_epoch = 0
     flag_rm = cfg.TRAIN.RESUME
@@ -384,7 +390,29 @@ def main(argv=None):
                 cfg, testloader, eval_step, ts, mesh, writer_dict,
                 num_outputs=cfg.MODEL.NUM_OUTPUTS,
                 place_batch=place_eval_batch,
+                should_stop=lambda: stop_requested["flag"],
             )
+            if stop_requested["flag"]:
+                # SIGTERM mid-validation: the epoch's training completed, so
+                # checkpoint epoch+1; the partial mIoU is discarded (no
+                # best-model decision from an incomplete val sweep)
+                if cfg.XLA.PROFILE_DIR and epoch == last_epoch:
+                    import jax
+
+                    jax.profiler.stop_trace()
+                if is_primary:
+                    logger.info(
+                        "=> preemption checkpoint (validation of epoch %d "
+                        "interrupted) to %s", epoch, final_output_dir,
+                    )
+                    ckpt.save_train_checkpoint(
+                        final_output_dir, epoch + 1, best_miou, ts
+                    )
+                writer_dict["writer"].close()
+                logger.info("exiting on SIGTERM; resume with TRAIN.RESUME true")
+                if prev_sigterm is not None:
+                    signal.signal(signal.SIGTERM, prev_sigterm)
+                return
         if flag_rm == 1:
             flag_rm = 0
         if cfg.XLA.PROFILE_DIR and epoch == last_epoch:

@@ -103,3 +103,70 @@ def test_train_one_epoch_aborts_on_nonfinite_loss(rng):
             cfg, 0, 4, 16, 0.01, loader, bad_step, None, mesh, writer_dict,
             place_batch=lambda *a: a,
         )
+
+
+def test_loader_wrap_pad_accounting():
+    """Multi-process loaders wrap-pad ranks to equal counts; the duplicate
+    is at most one per rank, at the TAIL, and samples_per_epoch excludes
+    it (engine.validate uses it to keep multi-host mIoU exact)."""
+    from pidnet_tpu.data.loader import Loader
+
+    class _DS(list):
+        pass
+
+    ds = _DS(range(5))
+    l0 = Loader(ds, 2, num_shards=2, shard_index=0)
+    l1 = Loader(ds, 2, num_shards=2, shard_index=1)
+    # padded order = [0..4, 0]; rank0 gets positions 0,2,4 (all real),
+    # rank1 gets 1,3,5 where 5 duplicates sample 0
+    assert l0.samples_per_epoch == 3
+    assert l1.samples_per_epoch == 2
+    o1 = l1._shard_order()
+    assert len(o1) == 3 and o1[-1] == 0  # duplicate is last
+    single = Loader(ds, 2)
+    assert single.samples_per_epoch == 5
+
+
+def test_validate_masks_wrap_pad_duplicates(rng):
+    """validate() must exclude a rank's wrap-pad duplicate samples from
+    both the loss average and the confusion matrices."""
+    cfg = default_config()
+    cfg.TRAIN.IGNORE_LABEL = 255
+    cfg.freeze()
+
+    class _ShardLoader(_FakeLoader):
+        """3 local samples of which the last is a wrap-pad duplicate,
+        yielded as one batch of 2 and one partial batch of 1."""
+
+        batch_size = 2
+        samples_per_epoch = 2  # 3 yielded - 1 duplicate
+
+        def __init__(self, rng):
+            img = rng.standard_normal((3, 64, 64, 3)).astype(np.float32)
+            lab = rng.integers(0, 19, (3, 64, 64)).astype(np.int32)
+            edge = (rng.random((3, 64, 64)) < 0.1).astype(np.float32)
+            self.batches = [
+                (img[:2], lab[:2], edge[:2], None, None),
+                (img[2:], lab[2:], edge[2:], None, None),
+            ]
+
+    masks = []
+
+    def fake_eval_step(ts, images, labels, edges, mask):
+        masks.append(np.asarray(mask))
+        n_pix = float(mask.sum()) * 64 * 64
+        cm = np.zeros((2, 19, 19), np.float32)
+        cm[:, 0, 0] = n_pix
+        return {"loss": 1.0}, cm
+
+    writer_dict = {"writer": TBWriter(""), "valid_global_steps": 0}
+    loader = _ShardLoader(rng)
+    ave_loss, _, _ = engine.validate(
+        cfg, loader, fake_eval_step, None, None, writer_dict,
+        place_batch=lambda *a: a,
+    )
+    # batch 1: both samples real; batch 2: the single yielded sample is the
+    # wrap-pad duplicate AND the batch is padded to size 2 — all masked out
+    np.testing.assert_array_equal(masks[0], [1.0, 1.0])
+    np.testing.assert_array_equal(masks[1], [0.0, 0.0])
+    assert np.isfinite(ave_loss)
