@@ -242,6 +242,15 @@ class FullLoss:
         last head so __call__ can share ONE ce_front invocation between the
         OHEM term and the boundary-aware CE (see __call__)."""
         out_hw = out_hw or (labels.shape[1], labels.shape[2])
+        if len(scores) != len(self.balance_weights):
+            # zip would silently truncate — with more heads than weights the
+            # FINAL head's OHEM term would be dropped entirely. The reference
+            # raises here too (criterion.py:96-99).
+            raise ValueError(
+                f"lengths of prediction ({len(scores)}) and "
+                f"LOSS.BALANCE_WEIGHTS ({len(self.balance_weights)}) "
+                "are not identical"
+            )
         losses = []
         for i, (w, s) in enumerate(zip(self.balance_weights, scores)):
             is_last = i == len(scores) - 1

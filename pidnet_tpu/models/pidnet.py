@@ -477,6 +477,14 @@ def _wf_factor(ops, x, planes):
     return fold_factor(planes, x.shape[2])
 
 
+def _stage_no_relu(i: int, blocks: int, default: bool) -> bool:
+    """Per-block no_relu policy of a sequential stage (reference
+    pidnet.py:103-121): the FIRST block keeps the block type's default;
+    later blocks relu except the stage's last. One source of truth for
+    the normal and W-folded layouts."""
+    return default if i == 0 else i == blocks - 1
+
+
 def _wf_layer(ops, prefix, x, block, planes, blocks):
     """W-folded `_layer` (stride-1 stages only); falls back to the normal
     layout when folding is off or not applicable (C>=128, odd widths)."""
@@ -488,10 +496,7 @@ def _wf_layer(ops, prefix, x, block, planes, blocks):
     fn, default_no_relu = _WF_BLOCK[block]
     xf = wfold(x, f)
     for i in range(blocks):
-        if blocks == 1 or i == 0:
-            no_relu = default_no_relu
-        else:
-            no_relu = i == blocks - 1
+        no_relu = _stage_no_relu(i, blocks, default_no_relu)
         xf = fn(ops, f"{prefix}.{i}", xf, planes, f, no_relu)
     return wunfold(xf, f)
 
@@ -512,13 +517,8 @@ def _layer(ops, prefix, x, block, planes, blocks, stride=1):
     fn, default_no_relu = _BLOCK[block]
     for i in range(blocks):
         s = stride if i == 0 else 1
-        if blocks == 1:
-            no_relu = default_no_relu
-        elif i == 0:
-            no_relu = default_no_relu
-        else:
-            no_relu = i == blocks - 1
-        x = fn(ops, f"{prefix}.{i}", x, planes, s, no_relu)
+        x = fn(ops, f"{prefix}.{i}", x, planes, s,
+               _stage_no_relu(i, blocks, default_no_relu))
     return x
 
 

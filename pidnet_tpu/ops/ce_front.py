@@ -181,18 +181,15 @@ def _bwd_kernel(a_ref, l_ref, bt_ref, b_ref, lab_ref, g_ref, dl_ref, lw_ref,
 
 
 def _xla_ce_maps(logits, labels, class_weights, ignore, out_hw, align_corners):
-    """Reference XLA path (also the CPU/parity fallback)."""
+    """Reference XLA path (also the CPU/parity fallback): resize, then the
+    shared one-hot CE map construction (losses.criterion._per_pixel_ce —
+    one source of truth for the ignore/safe-label/class-weight logic)."""
+    from pidnet_tpu.losses.criterion import _per_pixel_ce
     from pidnet_tpu.ops.resize import resize_bilinear
 
     up = resize_bilinear(logits, out_hw, align_corners)
-    valid = labels != ignore
-    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    onehot = safe[..., None] == jnp.arange(up.shape[-1], dtype=jnp.int32)
-    logp = jax.nn.log_softmax(up.astype(jnp.float32), axis=-1)
-    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
-    cw = jnp.asarray(class_weights, jnp.float32)
-    w = jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
-    return jnp.where(valid, nll, 0.0), jnp.where(valid, w, 0.0)
+    nll, w, valid = _per_pixel_ce(up, labels, class_weights, ignore)
+    return jnp.where(valid, nll, 0.0), w
 
 
 def _tileable(logits, out_hw) -> bool:

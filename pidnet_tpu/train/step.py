@@ -228,6 +228,7 @@ def make_eval_step(
     """
     from pidnet_tpu.metrics import confusion_matrix
     from pidnet_tpu.ops.resize import resize_bilinear
+    from pidnet_tpu.ops.upsample_argmax import upsample_argmax
 
     def shard_eval(params, state, images, labels, edges, sample_mask):
         # same sublane alignment as the train step (pad_batch docstring);
@@ -256,7 +257,17 @@ def make_eval_step(
         h, w = labels.shape[1], labels.shape[2]
         cms = []
         for o in outputs[:-1]:
-            seg = resize_bilinear(o, (h, w), loss_fn.align_corners)
+            if compute_dtype == jnp.bfloat16:
+                # bf16 eval: the fused upsample+argmax kernel keeps the
+                # full-resolution C-channel logits out of HBM entirely
+                # (ops/upsample_argmax.py) — the bf16 interpolation's rare
+                # argmax tie flips are within the path's accuracy budget
+                # (same treatment as the train-path acc, criterion.py)
+                seg = upsample_argmax(o, (h, w), loss_fn.align_corners)
+            else:
+                # fp32 parity path: exact XLA resize, bit-faithful mIoU vs
+                # the reference's upsample-then-argmax (utils/function.py)
+                seg = resize_bilinear(o, (h, w), loss_fn.align_corners)
             cm = confusion_matrix(seg, labels, num_classes, loss_fn.ignore_label)
             cms.append(jax.lax.psum(cm.astype(jnp.float32), DATA_AXIS))
         return metrics, jnp.stack(cms)

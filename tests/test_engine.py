@@ -170,3 +170,39 @@ def test_validate_masks_wrap_pad_duplicates(rng):
     np.testing.assert_array_equal(masks[0], [1.0, 1.0])
     np.testing.assert_array_equal(masks[1], [0.0, 0.0])
     assert np.isfinite(ave_loss)
+
+
+def test_eval_step_bf16_classmap_path(rng):
+    """BF16_EVAL confusion matrices go through the fused classmap path
+    (no full-res logits in HBM); totals must still respect the sample
+    mask and the matrices must stay close to the fp32 parity path's."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+    loss_fn = FullLoss(ignore_label=255, ohem_kept=100)
+    ts = TrainState.create(params, state)
+    from pidnet_tpu.parallel import shard_batch
+
+    img = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 19, (8, 64, 64)).astype(np.int32)
+    edge = (rng.random((8, 64, 64)) < 0.1).astype(np.float32)
+    mask = (np.arange(8) < 5).astype(np.float32)  # 3 padding samples
+    lab[5:] = 255
+
+    step32 = make_eval_step(spec, loss_fn, mesh, num_classes=19)
+    step16 = make_eval_step(
+        spec, loss_fn, mesh, num_classes=19, compute_dtype=jnp.bfloat16
+    )
+    batch = shard_batch(mesh, img, lab, edge, mask)
+    _, cms32 = step32(ts, *batch)
+    _, cms16 = step16(ts, *batch)
+    cms32, cms16 = np.asarray(cms32), np.asarray(cms16)
+    # padding defense survives the classmap path: only real pixels counted
+    assert int(cms16[0].sum()) == 5 * 64 * 64
+    assert int(cms16[1].sum()) == 5 * 64 * 64
+    # bf16 forward flips some argmaxes at random init; the matrices must
+    # still broadly agree with fp32
+    agree = 1.0 - np.abs(cms16 - cms32).sum() / (2 * cms32.sum())
+    assert agree > 0.9, agree
