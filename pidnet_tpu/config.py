@@ -139,7 +139,12 @@ def default_config() -> ConfigNode:
                 # bf16 matmul/conv compute (fp32 params & accumulation) for
                 # the folded speed path: tools/eval.py --fold-bn
                 "BF16_INFERENCE": True,
-                "BF16_TRAIN": False,
+                # bf16 conv/matmul compute during training (params, BN
+                # statistics and the optimizer stay fp32). Default ON so
+                # the documented `tools/train.py --cfg ...` path IS the
+                # fast path (~8x over fp32 on a v5e chip); set
+                # `XLA.BF16_TRAIN false` for fp32 bit-parity work.
+                "BF16_TRAIN": True,
                 # bf16 forward during the in-training validation pass
                 # (mIoU deltas are well under the 0.1 parity budget;
                 # offline eval via tools/eval.py stays fp32 by default)

@@ -45,8 +45,10 @@ class Loader:
         self.prefetch = prefetch
         self.num_shards = num_shards
         self.shard_index = shard_index
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self.epoch = 0
+        self._next_epoch: int | None = None
+        self._skip = 0
         # Wrap-pad accounting (engine.validate uses it to mask duplicate
         # samples out of the confusion matrices so multi-process mIoU is
         # exact): with num_shards > 1 the padded positions n..n+n_pad-1
@@ -61,10 +63,28 @@ class Loader:
         #: real (non-duplicate) samples this rank contributes per epoch
         self.samples_per_epoch = n_local - n_dup
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT iteration's epoch number (torch DistributedSampler
+        semantics). The shuffle order and the dataset's augmentation stream
+        are pure functions of (seed, epoch), so a resumed process replays
+        the interrupted epoch's exact sample order — the property
+        iteration-exact preemption resume needs (tools/train.py). Without
+        set_epoch, __iter__ advances an internal counter as before."""
+        self._next_epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Skip the first `n` batches of the NEXT iteration only — without
+        decoding their samples (resume-from-mid-epoch fast path). The
+        consumer is expected to number its steps accordingly."""
+        self._skip = int(n)
+
     def _shard_order(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            # per-(seed, epoch) stream: deterministic regardless of how
+            # many epochs this process already iterated (a resumed process
+            # reproduces epoch k's order exactly), identical across ranks
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         if self.num_shards == 1:
             return order
         n_pad = -len(order) % self.num_shards
@@ -77,14 +97,14 @@ class Loader:
         n = -(-n // self.num_shards) if self.num_shards > 1 else n
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batches(self):
+    def _batches(self, skip: int = 0):
         order = self._shard_order()
         stop = (
             len(order) - len(order) % self.batch_size
             if self.drop_last
             else len(order)
         )
-        for start in range(0, stop, self.batch_size):
+        for start in range(skip * self.batch_size, stop, self.batch_size):
             yield order[start : start + self.batch_size]
 
     def _collate(self, samples):
@@ -101,7 +121,12 @@ class Loader:
         )
 
     def __iter__(self):
-        self.epoch += 1
+        if self._next_epoch is not None:
+            self.epoch = self._next_epoch
+            self._next_epoch = None
+        else:
+            self.epoch += 1
+        skip, self._skip = self._skip, 0
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self.epoch)
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -126,7 +151,7 @@ class Loader:
             # into a silent hang.
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idx_batch in self._batches():
+                    for idx_batch in self._batches(skip):
                         if stop.is_set():
                             return
                         samples = list(

@@ -28,20 +28,42 @@ def _try_build() -> None:
     if not os.path.isfile(os.path.join(_NATIVE_DIR, "Makefile")):
         return
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            capture_output=True,
-            timeout=120,
-            check=False,
-        )
+        # Skip the subprocess entirely when the .so is already newer than
+        # every native source — the common case after the first build —
+        # so imports don't pay a make spawn per process.
+        if os.path.isfile(_LIB_PATH):
+            lib_mtime = os.path.getmtime(_LIB_PATH)
+            srcs = [
+                os.path.join(_NATIVE_DIR, f)
+                for f in os.listdir(_NATIVE_DIR)
+                if f.endswith((".cpp", ".h")) or f == "Makefile"
+            ]
+            if srcs and all(os.path.getmtime(s) <= lib_mtime for s in srcs):
+                return
+        # Serialize concurrent builds (multi-process training, parallel
+        # test subprocesses) with an exclusive file lock; the Makefile
+        # additionally links to a temp name and mv's it into place, so a
+        # process that skipped the lock path can never dlopen a
+        # half-written .so.
+        import fcntl
+
+        lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
     except Exception:
         pass
 
 
 _lib = None
-# run make even when the .so exists: the build is incremental (near-free
-# when up to date) and keeps the binary coherent with edited native/
-# sources instead of silently loading a stale kernel
+# rebuild when any native/ source is newer than the .so (mtime check, no
+# subprocess in the common up-to-date case) so the binary stays coherent
+# with edited sources instead of silently loading a stale kernel
 _try_build()
 if os.path.isfile(_LIB_PATH):
     try:

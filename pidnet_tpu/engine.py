@@ -39,8 +39,10 @@ def train_one_epoch(
     writer_dict,
     place_batch=None,
     should_stop=None,
+    start_iter: int = 0,
 ):
     """One training epoch (reference utils/function.py:21-75).
+    Returns (ts, completed_iters).
 
     `place_batch(images, labels, edges)` puts a host batch onto devices;
     default = `shard_batch(mesh, ...)` (1-D data mesh). The spatial
@@ -50,6 +52,14 @@ def train_one_epoch(
     returns True the epoch stops early with meters flushed — the hook for
     graceful preemption (tools/train.py installs a SIGTERM handler that
     sets it, then checkpoints and exits cleanly).
+
+    `start_iter` resumes mid-epoch: the loader is pinned to this epoch's
+    deterministic sample order (Loader.set_epoch) and the first
+    `start_iter` batches are skipped without decoding, so the remaining
+    steps run with exactly the samples, augmentations, and poly-LR
+    positions the interrupted run would have used (iteration-exact
+    preemption resume; the completed-iteration count travels in the
+    checkpoint, train/checkpoint.py).
     """
     from pidnet_tpu.train import poly_lr
 
@@ -91,7 +101,19 @@ def train_one_epoch(
     # PRINT_FREQ steps), so every log line shows meters over steps 0..i —
     # the reference's exact meter semantics (utils/function.py:26-72).
     pending = None
-    for i_iter, (images, labels, edges, _, _) in enumerate(loader):
+    done = start_iter  # steps completed so far this epoch
+    if hasattr(loader, "set_epoch"):
+        # pin the deterministic per-(seed, epoch) sample order; +1 keeps
+        # the stream identical to the pre-set_epoch counter convention
+        # (a fresh run's first epoch 0 iterates the loader's epoch 1)
+        loader.set_epoch(epoch + 1)
+    if start_iter:
+        if not hasattr(loader, "skip_batches"):
+            raise ValueError(
+                f"start_iter={start_iter} needs a loader with skip_batches()"
+            )
+        loader.skip_batches(start_iter)
+    for i_iter, (images, labels, edges, _, _) in enumerate(loader, start=start_iter):
         if should_stop is not None and should_stop():
             log.info(
                 "stop requested — ending epoch %d early at iter %d", epoch, i_iter
@@ -105,6 +127,7 @@ def train_one_epoch(
         lr = poly_lr(base_lr, num_iters, max(0, g - 1))
         batch = place_batch(images, np.asarray(labels, np.int32), edges)
         ts, metrics = step_fn(ts, *batch, lr)
+        done = i_iter + 1
         lr = poly_lr(base_lr, num_iters, g)  # what the reference logs
 
         if pending is not None:
@@ -142,7 +165,7 @@ def train_one_epoch(
             "train_loss", ave_loss.average(), writer_dict["train_global_steps"]
         )
         writer_dict["train_global_steps"] += 1
-    return ts
+    return ts, done
 
 
 def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2,
@@ -195,9 +218,13 @@ def validate(cfg, loader, eval_step, ts, mesh, writer_dict, num_outputs: int = 2
         batch = place(images, np.asarray(labels, np.int32), edges, mask)
         metrics, batch_cms = eval_step(ts, *batch)
         cms += np.asarray(batch_cms, np.float64)
-        # weight by real-sample count so padded/duplicate samples don't
-        # skew the epoch average
-        ave_loss.update(float(metrics["loss"]), float(mask.sum()))
+        # weight by the GLOBAL real-sample count (returned by the eval
+        # step) so padded/duplicate samples don't skew the epoch average
+        # and multi-process ranks — whose local tail counts can differ —
+        # all report the exact same global loss
+        ave_loss.update(
+            float(metrics["loss"]), float(metrics.get("weight", mask.sum()))
+        )
         if idx % 10 == 0:
             log.info("validating: %d", idx)
 

@@ -248,6 +248,10 @@ def make_spatial_eval_step(
             loss, metrics = loss_fn(
                 outputs, labels, edges, sample_mask=sample_mask
             )
+        # global real-sample count (same contract as train.step's eval
+        # metrics): engine.validate weights its meter by this so the
+        # reported loss is the exact global average on every process
+        metrics["weight"] = jnp.sum(sample_mask.astype(jnp.float32))
         # padding defense for the CMs: masked samples become all-ignore
         labels = jnp.where(
             sample_mask.reshape(-1, 1, 1) > 0, labels, loss_fn.ignore_label

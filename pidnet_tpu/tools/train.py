@@ -35,7 +35,13 @@ def parse_args(argv=None):
         type=str,
         help="experiment configure file name",
     )
-    parser.add_argument("--seed", type=int, default=304)
+    parser.add_argument(
+        "--seed",
+        type=int,
+        default=None,
+        help="RNG seed; default = cfg.SEED (304, like the reference "
+        "tools/train.py:37)",
+    )
     parser.add_argument(
         "--multihost",
         action="store_true",
@@ -59,16 +65,38 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    # Graceful preemption (beyond-reference; the reference only has
+    # crash-resume, SURVEY §5): TPU VMs are routinely preempted with a
+    # SIGTERM grace window. Install the flag-only handler FIRST so the
+    # grace window is honored even when the signal lands during the long
+    # first-compile/dataset-build phase (nothing checkpointable exists
+    # yet, but the default handler would hard-kill mid-grace); the epoch
+    # loop polls the flag at step boundaries.
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        # flag only — logging here could re-enter a non-reentrant stream
+        # writer if the signal lands mid-emit on the main thread; the epoch
+        # loop logs the stop at the next step boundary instead
+        stop_requested["flag"] = True
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. embedded use) — skip
+        prev_sigterm = None
+
     import jax
 
     if args.multihost:
         jax.distributed.initialize()
     cfg = load_config(args.cfg, args.opts)
+    seed = args.seed if args.seed is not None else int(cfg.SEED)
 
     logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "train")
     logger.info("%s", cfg)
 
-    np.random.seed(args.seed)
+    np.random.seed(seed)
 
     writer_dict = {
         "writer": TBWriter(tb_log_dir),
@@ -123,7 +151,7 @@ def main(argv=None):
         )
 
     spec = common.build_spec(cfg, augment=True)
-    params, state = common.init_model(cfg, spec, seed=args.seed)
+    params, state = common.init_model(cfg, spec, seed=seed)
     params, state = common.maybe_load_pretrained(cfg, params, state)
 
     accum = int(cfg.TRAIN.ACCUM_STEPS)
@@ -163,7 +191,7 @@ def main(argv=None):
         base_size=cfg.TRAIN.BASE_SIZE,
         crop_size=crop_size,
         scale_factor=cfg.TRAIN.SCALE_FACTOR,
-        seed=args.seed,
+        seed=seed,
         cache=cfg.DATASET.CACHE,
     )
     trainloader = Loader(
@@ -172,7 +200,7 @@ def main(argv=None):
         shuffle=cfg.TRAIN.SHUFFLE,
         drop_last=True,
         num_workers=cfg.WORKERS,
-        seed=args.seed,
+        seed=seed,
         num_shards=n_proc,
         shard_index=jax.process_index(),
     )
@@ -188,7 +216,7 @@ def main(argv=None):
         ignore_label=cfg.TRAIN.IGNORE_LABEL,
         base_size=cfg.TEST.BASE_SIZE,
         crop_size=test_size,
-        seed=args.seed,
+        seed=seed,
     )
     # validation shards the batch over the mesh — one sample per device
     # (1-D mesh) or per data row (--spatial: each sample's H spans the
@@ -312,14 +340,22 @@ def main(argv=None):
     epoch_iters = len(trainloader)
     best_miou = 0.0
     last_epoch = 0
+    resume_iter = 0  # completed steps within last_epoch (mid-epoch preemption)
     flag_rm = cfg.TRAIN.RESUME
     if cfg.TRAIN.RESUME:
         payload = ckpt.load_train_checkpoint(final_output_dir)
         if payload is not None:
             best_miou = payload["best_mIoU"]
             last_epoch = payload["epoch"]
+            resume_iter = int(payload.get("iter", 0))
             ts = TrainState(payload["params"], payload["state"], payload["momentum"])
-            logger.info("=> loaded checkpoint (epoch %d)", last_epoch)
+            if resume_iter:
+                logger.info(
+                    "=> loaded checkpoint (epoch %d, resuming mid-epoch at "
+                    "iter %d)", last_epoch, resume_iter,
+                )
+            else:
+                logger.info("=> loaded checkpoint (epoch %d)", last_epoch)
 
     start = timeit.default_timer()
     end_epoch = cfg.TRAIN.END_EPOCH
@@ -333,48 +369,42 @@ def main(argv=None):
 
         jax.profiler.start_trace(cfg.XLA.PROFILE_DIR)
 
-    # Graceful preemption (beyond-reference; the reference only has
-    # crash-resume, SURVEY §5): TPU VMs are routinely preempted with a
-    # SIGTERM grace window. The handler only sets a flag; the epoch loop
-    # stops at the next step boundary, writes the regular resume
-    # checkpoint tagged with the CURRENT epoch (so TRAIN.RESUME re-runs
-    # the interrupted epoch — same epoch-granular semantics as the
-    # reference's resume, reference tools/train.py:156-167) and exits
-    # cleanly. Multi-process: every process must receive the signal (the
-    # norm for preemptions); a process that misses it would block at the
-    # next collective.
-    stop_requested = {"flag": False}
-
-    def _on_sigterm(signum, frame):
-        # flag only — logging here could re-enter a non-reentrant stream
-        # writer if the signal lands mid-emit on the main thread; the epoch
-        # loop logs the stop at the next step boundary instead
-        stop_requested["flag"] = True
-
-    try:
-        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
-    except ValueError:  # not the main thread (e.g. embedded use) — skip
-        prev_sigterm = None
-
+    # Preemption semantics (handler installed at the top of main): the
+    # epoch loop stops at the next step boundary, a resume checkpoint
+    # tagged with the CURRENT epoch + completed-iteration count is
+    # written, and the process exits cleanly. Multi-process: every
+    # process must receive the signal (the norm for preemptions); a
+    # process that misses it would block at the next collective.
     valid_loss, mean_iou, iou_array = float("nan"), 0.0, None
     for epoch in range(last_epoch, real_end):
-        ts = engine.train_one_epoch(
+        ts, done_iters = engine.train_one_epoch(
             cfg, epoch, epoch_iters, num_iters, cfg.TRAIN.LR,
             trainloader, train_step, ts, mesh, writer_dict,
             place_batch=place_batch,
             should_stop=lambda: stop_requested["flag"],
+            start_iter=resume_iter if epoch == last_epoch else 0,
         )
         if stop_requested["flag"]:
             if cfg.XLA.PROFILE_DIR and epoch == last_epoch:
                 import jax
 
                 jax.profiler.stop_trace()  # flush the first-epoch trace
+            # iteration-exact resume: record how far into the epoch the
+            # interrupted run got; engine.train_one_epoch(start_iter=...)
+            # replays the SAME (seed, epoch)-deterministic sample order, so
+            # completed steps are skipped rather than double-applied. A stop
+            # landing exactly at the epoch boundary is the epoch+1 case.
+            ck_epoch, ck_iter = (
+                (epoch + 1, 0) if done_iters >= epoch_iters else (epoch, done_iters)
+            )
             if is_primary:
                 logger.info(
-                    "=> preemption checkpoint (epoch %d interrupted) to %s",
-                    epoch, final_output_dir,
+                    "=> preemption checkpoint (epoch %d interrupted at iter "
+                    "%d) to %s", ck_epoch, ck_iter, final_output_dir,
                 )
-                ckpt.save_train_checkpoint(final_output_dir, epoch, best_miou, ts)
+                ckpt.save_train_checkpoint(
+                    final_output_dir, ck_epoch, best_miou, ts, it=ck_iter
+                )
             writer_dict["writer"].close()
             logger.info("exiting on SIGTERM; resume with TRAIN.RESUME true")
             if prev_sigterm is not None:

@@ -42,12 +42,20 @@ def load(path: str) -> dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
-def save_train_checkpoint(out_dir: str, epoch: int, best_miou: float, ts) -> str:
+def save_train_checkpoint(
+    out_dir: str, epoch: int, best_miou: float, ts, it: int = 0
+) -> str:
+    """`it` = completed iterations WITHIN `epoch` (0 = epoch boundary, the
+    reference's granularity). A preemption checkpoint written mid-epoch
+    records the step it stopped at so resume skips the already-applied
+    steps instead of replaying them on top of their own updates
+    (tools/train.py + engine.train_one_epoch start_iter)."""
     path = os.path.join(out_dir, "checkpoint.msgpack")
     save(
         path,
         {
             "epoch": epoch,
+            "iter": int(it),
             "best_mIoU": float(best_miou),
             "params": ts.params,
             "state": ts.state,

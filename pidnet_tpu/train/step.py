@@ -250,6 +250,11 @@ def make_eval_step(
             k: jax.lax.psum(v * shard_w, DATA_AXIS) / jnp.maximum(total_w, 1.0)
             for k, v in metrics.items()
         }
+        # global real-sample count — engine.validate weights its epoch
+        # meter by THIS (not the local mask sum) so every process reports
+        # the exact same global average even when tail batches leave ranks
+        # with different real-sample counts
+        metrics["weight"] = total_w
         # padding defense for the CMs: masked samples are all-ignore
         labels = jnp.where(
             sample_mask.reshape(-1, 1, 1) > 0, labels, loss_fn.ignore_label

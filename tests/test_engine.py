@@ -206,3 +206,85 @@ def test_eval_step_bf16_classmap_path(rng):
     # still broadly agree with fp32
     agree = 1.0 - np.abs(cms16 - cms32).sum() / (2 * cms32.sum())
     assert agree > 0.9, agree
+
+
+class _IndexedDataset:
+    """8 tiny samples whose image pixels encode the sample index, so a
+    consumer can reconstruct exactly which samples each step saw."""
+
+    def __init__(self, n=8):
+        self.n = n
+        self.epoch = 0
+
+    def __len__(self):
+        return self.n
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __getitem__(self, i):
+        img = np.full((4, 4, 3), float(i), np.float32)
+        lab = np.zeros((4, 4), np.uint8)
+        edge = np.zeros((4, 4), np.float32)
+        return img, lab, edge, np.array([4, 4, 3]), str(i)
+
+
+def test_mid_epoch_resume_is_iteration_exact():
+    """Preemption resume (tools/train.py + Loader.set_epoch/skip_batches):
+    interrupting an epoch at step k and resuming with start_iter=k must
+    replay EXACTLY the remaining steps — same samples in the same order
+    with the same poly-LR positions — as the uninterrupted run."""
+    from pidnet_tpu.data.loader import Loader
+
+    cfg = default_config()
+    cfg.PRINT_FREQ = 100
+    cfg.freeze()
+    writer_dict = {"writer": TBWriter(""), "train_global_steps": 0}
+
+    def record_into(trace):
+        def step(ts, images, labels, edges, lr):
+            trace.append((tuple(images[:, 0, 0, 0].astype(int)), round(float(lr), 9)))
+            return ts, {"loss": 1.0, "acc": 0.5, "sem_loss": 0.4, "bce_loss": 0.1}
+
+        return step
+
+    def make_loader():
+        return Loader(_IndexedDataset(), 2, shuffle=True, drop_last=True, seed=7)
+
+    # uninterrupted: epochs 0 and 1 (4 steps each)
+    full = []
+    loader = make_loader()
+    for epoch in (0, 1):
+        _, done = engine.train_one_epoch(
+            cfg, epoch, 4, 16, 0.01, loader, record_into(full), None, None,
+            writer_dict, place_batch=lambda *a: a,
+        )
+        assert done == 4
+
+    # interrupted at step 2 of epoch 0, then resumed in a FRESH loader
+    # (fresh process): the combined trace must equal the uninterrupted one
+    part = []
+    stop_after = {"n": 2}
+
+    def should_stop():
+        return len(part) >= stop_after["n"]
+
+    _, done = engine.train_one_epoch(
+        cfg, 0, 4, 16, 0.01, make_loader(), record_into(part), None, None,
+        writer_dict, place_batch=lambda *a: a, should_stop=should_stop,
+    )
+    assert done == 2
+    resumed_loader = make_loader()  # fresh process: loader state reset
+    _, done = engine.train_one_epoch(
+        cfg, 0, 4, 16, 0.01, resumed_loader, record_into(part), None, None,
+        writer_dict, place_batch=lambda *a: a, start_iter=2,
+    )
+    assert done == 4
+    _, done = engine.train_one_epoch(
+        cfg, 1, 4, 16, 0.01, resumed_loader, record_into(part), None, None,
+        writer_dict, place_batch=lambda *a: a,
+    )
+    assert done == 4
+    assert part == full
+    # sanity: shuffling actually happened (epochs see different orders)
+    assert [s for s, _ in full[:4]] != [s for s, _ in full[4:]]

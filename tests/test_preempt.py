@@ -130,4 +130,8 @@ def test_sigterm_checkpoints_and_exits(workspace):
     payload = ckpt.load_train_checkpoint(str(out_dir))
     assert payload is not None
     assert 0 <= payload["epoch"] < 5000
+    # iteration-exact resume: the preemption checkpoint records how far
+    # into the epoch the run got (0 <= iter < epoch_iters; 2 steps/epoch
+    # here) so resume skips the already-applied steps
+    assert 0 <= payload["iter"] < 2
     assert "conv1.0.weight" in payload["params"]
