@@ -185,6 +185,10 @@ def default_config() -> ConfigNode:
                 # augmentation pipeline's CPU cost (~31 GB for full
                 # Cityscapes train; sized for a TPU host VM)
                 "CACHE": False,
+                # byte budget for CACHE in GiB: an LRU bound that makes a
+                # host OOM impossible by construction — a smaller host
+                # degrades to partial caching (hit rate logged per epoch)
+                "CACHE_GB": 32.0,
             },
             "TRAIN": {
                 "IMAGE_SIZE": [1024, 1024],  # width * height

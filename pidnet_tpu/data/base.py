@@ -7,11 +7,69 @@ device pipeline never transposes.
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 
 from pidnet_tpu.data import transforms as T
+
+log = logging.getLogger("pidnet_tpu")
+
+
+class _ByteLRU:
+    """Byte-budgeted LRU for decoded samples (DATASET.CACHE).
+
+    The budget makes host OOM impossible by construction: entries are
+    evicted least-recently-used once the running byte total would exceed
+    it, and an entry larger than the whole budget is never stored. Worker
+    threads share one lock; the critical sections are dict moves only
+    (the numpy payloads are built outside the lock)."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = int(budget_bytes)
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+        self._od: OrderedDict[int, tuple] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self._od)
+
+    def get(self, key):
+        with self._lock:
+            hit = self._od.get(key)
+            if hit is None:
+                self.misses += 1
+                return None
+            self._od.move_to_end(key)
+            self.hits += 1
+            return hit
+
+    def put(self, key, value: tuple) -> None:
+        nbytes = sum(a.nbytes for a in value)
+        if nbytes > self.budget:
+            return
+        with self._lock:
+            if key in self._od:
+                return
+            while self.bytes + nbytes > self.budget and self._od:
+                _, old = self._od.popitem(last=False)
+                self.bytes -= sum(a.nbytes for a in old)
+            self._od[key] = value
+            self.bytes += nbytes
+
+    def stats(self) -> str:
+        total = self.hits + self.misses
+        rate = self.hits / total if total else 0.0
+        return (
+            f"{len(self._od)} entries, {self.bytes / 2**30:.2f} GiB / "
+            f"{self.budget / 2**30:.2f} GiB budget, hit rate {rate:.1%} "
+            f"({self.hits}/{total})"
+        )
 
 
 class SegDataset:
@@ -29,6 +87,7 @@ class SegDataset:
         bd_dilate_size: int = 4,
         seed: int = 304,
         cache: bool = False,
+        cache_gb: float = 32.0,
     ):
         self.root = root
         self.list_path = list_path
@@ -46,10 +105,11 @@ class SegDataset:
         # Canny+dilate edge GT — which repeats identically every epoch.
         # Only the random augmentation runs per sample after warm-up.
         # Memory: full Cityscapes train ≈ 2975 x (6.3 MB image u8 +
-        # 2.1 MB label u8 + 2.1 MB edge u8) ≈ 31 GB — sized for a real
-        # TPU host VM, hence off by default.
+        # 2.1 MB label u8 + 2.1 MB edge u8) ≈ 31 GB. DATASET.CACHE_GB
+        # byte-budgets it (LRU eviction) so a smaller host degrades to
+        # partial caching instead of an OOM kill mid-epoch.
         self.cache = cache
-        self._cache: dict[int, tuple] = {}
+        self._cache = _ByteLRU(int(cache_gb * 2**30)) if cache else None
         self._epoch = 0
         self.class_weights: np.ndarray | None = None
 
@@ -94,6 +154,8 @@ class SegDataset:
         """Advance the augmentation stream (the loader calls this per epoch
         — the hook the reference's DDP-ready sampler anticipated,
         tools/train.py:176-178)."""
+        if self._cache is not None and epoch != self._epoch and self._epoch:
+            log.info("decode cache: %s", self._cache.stats())
         self._epoch = epoch
 
     def _sample_rng(self, index: int) -> np.random.Generator:
@@ -104,15 +166,15 @@ class SegDataset:
     def __getitem__(self, index: int):
         item = self.files[index]
         edge = None
-        if self.cache and not self.is_test:
-            hit = self._cache.get(index)  # GIL-atomic; worker-thread safe
+        if self._cache is not None and not self.is_test:
+            hit = self._cache.get(index)
             if hit is None:
                 image = self._load_image(item["img"])
                 label = self._load_label(item["label"])
                 edge = T.gen_edge_gt(
                     label, edge_size=self.bd_dilate_size, edge_pad=self.edge_pad
                 )
-                self._cache[index] = (image, label, edge)
+                self._cache.put(index, (image, label, edge))
             else:
                 image, label, edge = hit
         else:

@@ -36,10 +36,12 @@ class CamVid(SegDataset):
         bd_dilate_size: int = 4,
         seed: int = 304,
         cache: bool = False,
+        cache_gb: float = 32.0,
     ):
         super().__init__(
             root, list_path, num_classes, multi_scale, flip, ignore_label,
             base_size, crop_size, scale_factor, bd_dilate_size, seed, cache,
+            cache_gb,
         )
         self.class_weights = None
         self.color_list = COLOR_LIST

@@ -193,6 +193,7 @@ def main(argv=None):
         scale_factor=cfg.TRAIN.SCALE_FACTOR,
         seed=seed,
         cache=cfg.DATASET.CACHE,
+        cache_gb=cfg.DATASET.CACHE_GB,
     )
     trainloader = Loader(
         train_dataset,

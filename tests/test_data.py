@@ -275,3 +275,47 @@ def test_cache_matches_uncached(city_dir):
                 for x, y in zip(a[:3], b[:3]):
                     np.testing.assert_array_equal(x, y)
     assert len(cached._cache) == len(plain)
+
+
+def test_cache_byte_budget_is_honored(city_dir):
+    """DATASET.CACHE_GB: the LRU never exceeds its byte budget (OOM is
+    impossible by construction), evicts least-recently-used, and evicted
+    entries still produce bit-identical samples on re-decode."""
+    kw = dict(
+        root=city_dir, list_path="list/cityscapes/train.lst",
+        base_size=256, crop_size=(96, 192), seed=7,
+    )
+    plain = Cityscapes(**kw)
+    # budget ~ one sample (measured from a probe dataset's first entry):
+    # forces eviction traffic on a len>1 dataset
+    probe = Cityscapes(cache=True, cache_gb=64.0, **kw)
+    probe.set_epoch(1)
+    _ = probe[0]
+    entry_bytes = probe._cache.bytes
+    assert entry_bytes > 0
+
+    budget = entry_bytes + entry_bytes // 2  # fits 1, not 2
+    cached = Cityscapes(cache=True, cache_gb=budget / 2**30, **kw)
+    cached.set_epoch(1)
+    plain.set_epoch(1)
+    assert len(plain) >= 2
+    for epoch in (1, 2):
+        cached.set_epoch(epoch)
+        plain.set_epoch(epoch)
+        for i in range(len(plain)):
+            a, b = cached[i], plain[i]
+            for x, y in zip(a[:3], b[:3]):
+                np.testing.assert_array_equal(x, y)
+            assert cached._cache.bytes <= budget
+    assert len(cached._cache) == 1  # evictions happened, cap held
+    assert cached._cache.misses > len(plain)  # re-decodes after eviction
+    assert "hit rate" in cached._cache.stats()
+
+    # a zero-budget cache stores nothing but stays correct
+    none = Cityscapes(cache=True, cache_gb=0.0, **kw)
+    none.set_epoch(1)
+    plain.set_epoch(1)
+    a, b = none[1], plain[1]
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(x, y)
+    assert len(none._cache) == 0
