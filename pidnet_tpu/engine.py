@@ -274,20 +274,71 @@ def _spatial_jit_opts(spatial_mesh):
     }
 
 
+def _data_parallel_infer(fn, data_mesh):
+    """Map a single-device inference body over the batch dim of a 1-D data
+    mesh with shard_map: each device runs the IDENTICAL local program
+    (Pallas kernels included — unlike GSPMD, which cannot partition an
+    opaque custom call), params/state replicated, batch dim-0 sharded.
+    The eval model has no cross-sample ops (BN uses running stats), so the
+    per-device programs are independent."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pidnet_tpu.parallel.mesh import DATA_AXIS
+
+    return jax.jit(
+        shard_map(
+            fn,
+            mesh=data_mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )
+    )
+
+
+def _finalize_infer(_body, params, state, *, spatial_mesh, data_mesh, jit_opts, bake):
+    """Close an inference body over its weights in one of three ways:
+    data-mesh shard_map, plain jit with weights as arguments, or — with
+    `bake=True` — weights as jit CONSTANTS, so XLA constant-folds every
+    per-call weight preparation (f32->bf16 casts, the s2d/wfold one-hot
+    einsum kernel expansions, layout copies) at compile time: the serving
+    path. Baking is incompatible with a spatial mesh (the partitioner
+    re-lays out closure constants inconsistently, see _spatial_jit_opts)."""
+    if data_mesh is not None and spatial_mesh is None:
+        _infer = _data_parallel_infer(_body, data_mesh)
+    elif bake and spatial_mesh is None:
+        baked = jax.jit(lambda x: _body(params, state, x))
+        return baked
+    else:
+        from functools import partial
+
+        _infer = partial(jax.jit, **jit_opts)(_body)
+
+    def infer(x):
+        return _infer(params, state, x)
+
+    return infer
+
+
 def make_inference(
-    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None
+    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None,
+    data_mesh=None, bake=False,
 ):
     """Single-image inference closure (reference base_dataset.py:136-150):
     model -> pick TEST.OUTPUT_INDEX -> bilinear to input size
-    (align_corners=cfg.MODEL.ALIGN_CORNERS) -> exp()."""
-    from functools import partial
+    (align_corners=cfg.MODEL.ALIGN_CORNERS) -> exp().
 
+    `data_mesh`: a 1-D data mesh — the batch dim is sharded across its
+    devices (offline eval parallelism; the input batch must be a multiple
+    of the mesh size — engine.testval/test pad the tail). `bake`: embed
+    the weights as jit constants so per-call weight preparation constant-
+    folds away (serving; see _finalize_infer)."""
     from pidnet_tpu.models import pidnet as M
 
     hint, jit_opts = _spatial_jit_opts(spatial_mesh)
 
-    @partial(jax.jit, **jit_opts)
-    def _infer(params, state, x):
+    def _body(params, state, x):
         out = M.apply(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
             stem_s2d=folded, wfold=folded, shard_hint=hint,
@@ -296,14 +347,15 @@ def make_inference(
         pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
         return jnp.exp(pred.astype(jnp.float32))
 
-    def infer(x):
-        return _infer(params, state, x)
-
-    return infer
+    return _finalize_infer(
+        _body, params, state, spatial_mesh=spatial_mesh, data_mesh=data_mesh,
+        jit_opts=jit_opts, bake=bake,
+    )
 
 
 def make_inference_classmap(
-    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None
+    cfg, spec, params, state, *, folded=False, compute_dtype=None, spatial_mesh=None,
+    data_mesh=None, bake=False,
 ):
     """Class-map inference closure: model -> OUTPUT_INDEX -> fused
     bilinear-upsample+argmax (ops/upsample_argmax.py, Pallas on TPU) ->
@@ -312,9 +364,11 @@ def make_inference_classmap(
     or transferring full-resolution 19-channel logits — the speed path
     for testval/test/custom. Under a spatial mesh the Pallas kernel is
     disabled via ops.pallas_gate (an opaque custom call the SPMD
-    partitioner could not shard) and the XLA resize+argmax pair runs."""
+    partitioner could not shard) and the XLA resize+argmax pair runs.
+    Under a `data_mesh` the batch dim is sharded via shard_map — the
+    per-device program (Pallas kernel included) is unchanged. `bake`:
+    weights as jit constants (serving; see _finalize_infer)."""
     import contextlib
-    from functools import partial
 
     from pidnet_tpu.models import pidnet as M
     from pidnet_tpu.ops.pallas_gate import no_pallas
@@ -323,8 +377,7 @@ def make_inference_classmap(
     hint, jit_opts = _spatial_jit_opts(spatial_mesh)
     gate = no_pallas if spatial_mesh is not None else contextlib.nullcontext
 
-    @partial(jax.jit, **jit_opts)
-    def _infer(params, state, x):
+    def _body(params, state, x):
         with gate():
             out = M.apply(
                 params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
@@ -335,10 +388,10 @@ def make_inference_classmap(
                 out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS
             )
 
-    def infer(x):
-        return _infer(params, state, x)
-
-    return infer
+    return _finalize_infer(
+        _body, params, state, spatial_mesh=spatial_mesh, data_mesh=data_mesh,
+        jit_opts=jit_opts, bake=bake,
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -383,11 +436,14 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
       exp(); per-scale exp'd probability maps are resized to the input size
       and SUMMED over scales.
 
-    TPU-first structure: ONE jitted crop-size window program is reused for
-    every (scale, window) — all offsets/shapes are static Python ints, so
-    there is exactly one model compile; per-scale resizes re-trace per shape
-    (tiny programs). Returns (N,H,W,C) f32 summed probabilities, the same
-    contract as `make_inference` — testval/test/save_pred consume it
+    TPU-first structure: every window of a scale AND its flip variant are
+    stacked into crop-size model batches (chunked from a fixed size set
+    {8,4,2,1}, so at most four programs ever compile and no padding waste);
+    flip-averaging happens on the model's native 1/8-resolution logits and
+    ONE batched bilinear upsample produces all crop-resolution maps —
+    offsets/shapes are static Python ints; per-scale resizes re-trace per
+    shape (tiny programs). Returns (N,H,W,C) f32 summed probabilities, the
+    same contract as `make_inference` — testval/test/save_pred consume it
     unchanged."""
     from pidnet_tpu.models import pidnet as M
 
@@ -398,25 +454,66 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
     )
     align = cfg.MODEL.ALIGN_CORNERS
     base = int(cfg.TEST.BASE_SIZE)
-    # HRNet window overlap: stride = 2/3 of the crop
-    stride_h, stride_w = max(1, round(crop_h * 2 / 3)), max(1, round(crop_w * 2 / 3))
+    # HRNet window overlap: stride = int(crop * 2/3) — numpy int()
+    # truncation, matching HRNet multi_scale_inference's
+    # `np.int(self.crop_size[i] / 3.0 * 2.0)` (floor, not round)
+    stride_h, stride_w = max(1, int(crop_h * 2 / 3)), max(1, int(crop_w * 2 / 3))
 
     @jax.jit
-    def _window_probs(params, state, x):
-        def logits(v):
-            out = M.apply(
-                params, state, v, spec, folded=folded, compute_dtype=compute_dtype,
-                stem_s2d=folded, wfold=folded,
-            )
-            out = _select_output(cfg, out)
-            return resize_bilinear(out, (v.shape[1], v.shape[2]), align).astype(
-                jnp.float32
-            )
+    def _batch_logits(params, state, xw):
+        """(B, crop_h, crop_w, 3) -> LOW-RES f32 logits (B, h/8, w/8, C).
 
-        z = logits(x)
+        The model's native 1/8-resolution output: flip-averaging and the
+        (single, batched) upsample to crop resolution happen OUTSIDE, on
+        the small maps — bilinear resize is linear and W-symmetric, so
+        averaging before resizing is exact and halves the full-res work."""
+        out = M.apply(
+            params, state, xw, spec, folded=folded, compute_dtype=compute_dtype,
+            stem_s2d=folded, wfold=folded,
+        )
+        return _select_output(cfg, out).astype(jnp.float32)
+
+    def _chunk_plan(k: int, n: int) -> list[int]:
+        """Greedy decomposition of k windows into call sizes from a fixed
+        set, capping each model batch (windows x images) at 8 — so at most
+        four batch sizes ever compile, with zero padding waste."""
+        sizes = [c for c in (8, 4, 2, 1) if c == 1 or c * n <= 8]
+        plan = []
+        while k:
+            c = next(s for s in sizes if s <= k)
+            plan.append(c)
+            k -= c
+        return plan
+
+    def _windows_probs(xp, offsets):
+        """Exp'd crop-resolution probabilities for every window of one
+        padded canvas: ONE stacked tensor of (window, flip) variants runs
+        through chunked `_batch_logits` calls — windows of a scale (and
+        their flips) share model batches instead of running serially."""
+        n = xp.shape[0]
+        wins = jnp.stack(
+            [xp[:, r0 : r0 + crop_h, q0 : q0 + crop_w] for r0, q0 in offsets]
+        )  # (K, N, crop_h, crop_w, 3)
         if flip:
-            z = 0.5 * (z + logits(x[:, :, ::-1])[:, :, ::-1])
-        return jnp.exp(z)
+            # interleave [w0, flip(w0), w1, flip(w1), ...] so each window's
+            # flip pair lands in the same (even-sized) model chunk
+            wins = jnp.stack([wins, wins[:, :, :, ::-1]], 1).reshape(
+                (-1,) + wins.shape[1:]
+            )
+        k2 = wins.shape[0]
+        flat = wins.reshape((-1,) + wins.shape[2:])
+        zs, i = [], 0
+        for c in _chunk_plan(k2, n):
+            zs.append(_batch_logits(params, state, flat[i * n : (i + c) * n]))
+            i += c
+        z = jnp.concatenate(zs, 0) if len(zs) > 1 else zs[0]
+        z = z.reshape((k2, n) + z.shape[1:])
+        if flip:
+            z = 0.5 * (z[0::2] + z[1::2][:, :, :, ::-1])
+        k = z.shape[0]
+        zf = z.reshape((k * n,) + z.shape[2:])
+        pr = jnp.exp(resize_bilinear(zf, (crop_h, crop_w), align))
+        return pr.reshape((k, n, crop_h, crop_w, pr.shape[-1]))
 
     def _scale_probs(x, nh: int, nw: int):
         """Exp'd probabilities for one scale, at (nh, nw) resolution."""
@@ -425,24 +522,25 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
         )
         if nh <= crop_h and nw <= crop_w:
             xp = jnp.pad(xs, ((0, 0), (0, crop_h - nh), (0, crop_w - nw), (0, 0)))
-            return _window_probs(params, state, xp)[:, :nh, :nw]
+            return _windows_probs(xp, [(0, 0)])[0][:, :nh, :nw]
         rows = 1 + max(0, -(-(nh - crop_h) // stride_h))
         cols = 1 + max(0, -(-(nw - crop_w) // stride_w))
         ph = stride_h * (rows - 1) + crop_h
         pw = stride_w * (cols - 1) + crop_w
         xp = jnp.pad(xs, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
         n, c = x.shape[0], spec.num_classes
+        offsets = [
+            (r * stride_h, q * stride_w) for r in range(rows) for q in range(cols)
+        ]
+        probs = _windows_probs(xp, offsets)
         # Window accumulation runs through ONE donated jitted update (an
         # in-place dynamic-update-slice with traced offsets) instead of
         # eager .at[].add — the eager form copied the whole (N,ph,pw,C)
         # canvas once per window. The overlap count is a deterministic
         # function of static shapes: precomputed host-side, cached.
         acc = jnp.zeros((n, ph, pw, c), jnp.float32)
-        for r in range(rows):
-            for q in range(cols):
-                r0, q0 = r * stride_h, q * stride_w
-                win = xp[:, r0 : r0 + crop_h, q0 : q0 + crop_w]
-                acc = _acc_window(acc, _window_probs(params, state, win), r0, q0)
+        for k, (r0, q0) in enumerate(offsets):
+            acc = _acc_window(acc, probs[k], r0, q0)
         cnt = _overlap_count(rows, cols, stride_h, stride_w, crop_h, crop_w, ph, pw)
         return (acc / cnt)[:, :nh, :nw]
 
@@ -473,8 +571,28 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
     return infer
 
 
-def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = False):
-    """Labeled single-scale evaluation (reference utils/function.py:131-177)."""
+def _pad_rows(images, batch_pad: int):
+    """Pad a batch's dim 0 to a multiple of `batch_pad` by repeating the
+    last sample (mesh-parallel eval needs every batch divisible by the
+    device count; the caller slices predictions back to the real count)."""
+    n_real = images.shape[0]
+    pad = -n_real % batch_pad
+    if pad:
+        images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
+    return images, n_real
+
+
+def testval(
+    cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = False,
+    batch_pad: int = 1,
+):
+    """Labeled single-scale evaluation (reference utils/function.py:131-177).
+
+    `batch_pad`: pad every batch's dim 0 to this multiple (repeating the
+    last sample) before `infer`, then drop the padded predictions — the
+    contract of the data-mesh inference closures, whose batch must divide
+    the device count. Metrics are exact: padded rows never reach the
+    confusion matrix."""
     import os
 
     from pidnet_tpu.metrics import confusion_matrix
@@ -482,7 +600,10 @@ def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = Fal
     num_classes = cfg.DATASET.NUM_CLASSES
     cm = np.zeros((num_classes, num_classes), np.float64)
     for index, (images, labels, _, _, names) in enumerate(loader):
+        images, n_real = _pad_rows(np.asarray(images), batch_pad)
         pred = infer(jnp.asarray(images))
+        if pred.shape[0] != n_real:
+            pred = pred[:n_real]
         cm += np.asarray(
             confusion_matrix(
                 pred, jnp.asarray(labels, jnp.int32), num_classes,
@@ -504,13 +625,17 @@ def testval(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = Fal
     return mean_iou, iou_array, pixel_acc, mean_acc
 
 
-def test(cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = True):
+def test(
+    cfg, dataset, loader, infer, sv_dir: str = "./", sv_pred: bool = True,
+    batch_pad: int = 1,
+):
     """Unlabeled test-server inference (reference utils/function.py:180-202)."""
     import os
 
     for images, sizes, names in loader:
+        images, n_real = _pad_rows(np.asarray(images), batch_pad)
         pred = infer(jnp.asarray(images))
         if sv_pred:
             sv_path = os.path.join(sv_dir, "test_results")
             os.makedirs(sv_path, exist_ok=True)
-            dataset.save_pred(np.asarray(pred), sv_path, names)
+            dataset.save_pred(np.asarray(pred)[:n_real], sv_path, names)

@@ -92,14 +92,30 @@ def main(argv=None):
         base_size=cfg.TEST.BASE_SIZE,
         crop_size=test_size,
     )
-    testloader = Loader(test_dataset, 1, shuffle=False, num_workers=0)
-
     spatial_mesh = None
+    data_mesh = None
+    tta = bool(cfg.TEST.MULTI_SCALE or cfg.TEST.FLIP_TEST)
     if args.spatial:
         from pidnet_tpu.parallel.spatial import make_mesh_2d
 
         spatial_mesh = make_mesh_2d(1, args.spatial)
         logger.info("=> spatial partitioning: H dim over %d devices", args.spatial)
+    elif not tta:
+        # mesh-parallel offline eval (beyond the reference's single-GPU
+        # batch-1 loop, tools/eval.py:94-99): shard the batch dim over the
+        # data mesh — one image per device per call, tail batches padded
+        # by engine.testval/test, metrics exact
+        import jax
+
+        from pidnet_tpu.parallel import make_mesh
+
+        n_dev = cfg.DEVICES if cfg.DEVICES not in (-1, 0, None) else len(jax.devices())
+        if n_dev > 1:
+            data_mesh = make_mesh(n_dev)
+            logger.info("=> data-parallel eval over %d devices", n_dev)
+
+    batch_pad = data_mesh.devices.size if data_mesh is not None else 1
+    testloader = Loader(test_dataset, max(1, batch_pad), shuffle=False, num_workers=0)
 
     if cfg.TEST.MULTI_SCALE or cfg.TEST.FLIP_TEST:
         # test-time augmentation: summed multi-scale (+flip-averaged)
@@ -139,13 +155,21 @@ def main(argv=None):
                 jnp.bfloat16 if (args.fold_bn and cfg.XLA.BF16_INFERENCE) else None
             ),
             spatial_mesh=spatial_mesh,
+            data_mesh=data_mesh,
+            # offline eval weights are frozen: bake them as jit constants so
+            # per-call weight prep (casts, s2d/wfold expansions) folds away
+            bake=spatial_mesh is None and data_mesh is None,
         )
 
     if "test" in cfg.DATASET.TEST_SET and "city" in cfg.DATASET.DATASET:
-        engine.test(cfg, test_dataset, testloader, infer, sv_dir=final_output_dir)
+        engine.test(
+            cfg, test_dataset, testloader, infer, sv_dir=final_output_dir,
+            batch_pad=batch_pad,
+        )
     else:
         mean_iou, iou_array, pixel_acc, mean_acc = engine.testval(
-            cfg, test_dataset, testloader, infer, sv_dir=final_output_dir
+            cfg, test_dataset, testloader, infer, sv_dir=final_output_dir,
+            batch_pad=batch_pad,
         )
         logger.info(
             "MeanIU: %.4f, Pixel_Acc: %.4f, Mean_Acc: %.4f", mean_iou, pixel_acc, mean_acc

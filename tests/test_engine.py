@@ -288,3 +288,82 @@ def test_mid_epoch_resume_is_iteration_exact():
     assert part == full
     # sanity: shuffling actually happened (epochs see different orders)
     assert [s for s, _ in full[:4]] != [s for s, _ in full[4:]]
+
+
+class _EvalLoader:
+    """testval-shaped loader: (images, labels, _, _, names), one full
+    batch and a non-divisible tail."""
+
+    def __init__(self, rng, sizes=(8, 3), hw=(64, 64)):
+        self.batches = []
+        k = 0
+        for n in sizes:
+            img = rng.standard_normal((n, *hw, 3)).astype(np.float32)
+            lab = rng.integers(0, 19, (n, *hw)).astype(np.int32)
+            names = [f"img{k + i}" for i in range(n)]
+            k += n
+            self.batches.append((img, lab, None, None, names))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _eval_cfg():
+    cfg = default_config()
+    cfg.DATASET.NUM_CLASSES = 19
+    cfg.TRAIN.IGNORE_LABEL = 255
+    cfg.MODEL.NUM_OUTPUTS = 2
+    cfg.TEST.OUTPUT_INDEX = 1
+    return cfg.freeze()
+
+
+def test_mesh_parallel_testval_matches_single_device(rng):
+    """Offline eval through an 8-device data mesh (shard_map over the
+    batch dim, tail batch padded with repeats) reports the same confusion
+    matrices / mIoU as the single-device batch-1 loop."""
+    cfg = _eval_cfg()
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+
+    single = engine.make_inference(cfg, spec, params, state)
+    mesh = make_mesh(8)
+    meshed = engine.make_inference(cfg, spec, params, state, data_mesh=mesh)
+
+    loader = _EvalLoader(rng)
+    got = engine.testval(cfg, None, loader, meshed, sv_pred=False, batch_pad=8)
+    want = engine.testval(cfg, None, loader, single, sv_pred=False, batch_pad=1)
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6)  # mIoU
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)  # per-class IoU
+    np.testing.assert_allclose(got[2], want[2], rtol=1e-6)  # pixel acc
+
+
+def test_baked_inference_matches_arg_weights(rng):
+    """bake=True (weights as jit constants, the serving mode) is
+    numerically identical to the weights-as-arguments closure."""
+    cfg = _eval_cfg()
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(1), spec)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    plain = engine.make_inference(cfg, spec, params, state)(np.asarray(x))
+    baked = engine.make_inference(cfg, spec, params, state, bake=True)(
+        np.asarray(x)
+    )
+    # constant-folding the weights lets XLA reassociate fp32 reductions, so
+    # the two programs differ by ~1e-4 relative; compare the (log-space)
+    # logits with a tolerance sized for a recompilation, not bit-equality
+    tiny = np.float32(1e-38)  # clamp exp-underflowed probs out of log(0)
+    np.testing.assert_allclose(
+        np.log(np.maximum(np.asarray(baked), tiny)),
+        np.log(np.maximum(np.asarray(plain), tiny)),
+        atol=5e-3, rtol=0,
+    )
+
+    plain_cm = engine.make_inference_classmap(cfg, spec, params, state)(
+        np.asarray(x)
+    )
+    baked_cm = engine.make_inference_classmap(cfg, spec, params, state, bake=True)(
+        np.asarray(x)
+    )
+    agree = (np.asarray(baked_cm) == np.asarray(plain_cm)).mean()
+    assert agree >= 0.9995, f"baked/plain classmap agreement {agree}"

@@ -1,0 +1,47 @@
+"""Frozen class-map regression on the bundled Frankfurt frames.
+
+The reference's accuracy story is released-checkpoint mIoU (reference
+README.md:62-71) — unverifiable without Cityscapes data. This is the
+in-repo substitute: scripts/make_goldens.py froze the fp32 parity
+pipeline's argmax maps at seed-0 init; recomputing them must agree to
+>=99.5% per frame. Any silent numerical change in the conv/BN/resize
+path moves decision boundaries and fails this. scripts/reproduce_miou.sh
+is the real-data recipe for when Cityscapes + released weights exist.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pidnet_tpu.models import pidnet as M
+from pidnet_tpu.ops.resize import resize_bilinear
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "classmaps_seed0.npz")
+SAMPLES = os.path.join(os.path.dirname(__file__), "..", "samples")
+
+
+def test_frozen_classmaps_reproduce():
+    cv2 = pytest.importorskip("cv2")
+    goldens = np.load(GOLDENS)
+    spec = M.spec_for("pidnet_s", 19, augment=True)
+    params, state = M.init(jax.random.PRNGKey(0), spec)
+
+    @jax.jit
+    def infer(x):
+        out = M.apply(params, state, x, spec, train=False)[1]
+        pred = resize_bilinear(out, (x.shape[1], x.shape[2]), True)
+        return jnp.argmax(pred, axis=-1).astype(jnp.int8)
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    for name in goldens.files:
+        img = cv2.imread(os.path.join(SAMPLES, name))
+        assert img is not None, name
+        x = (img.astype(np.float32)[:, :, ::-1] / 255.0 - mean) / std
+        got = np.asarray(infer(jnp.asarray(np.ascontiguousarray(x))[None]))[0]
+        agreement = float((got == goldens[name]).mean())
+        assert agreement >= 0.995, (name, agreement)

@@ -122,8 +122,9 @@ def test_sliding_windows_count_average(rng, net):
     x = rng.standard_normal((1, 64, 128, 3)).astype(np.float32)
     plain = engine.make_inference(cfg, spec, params, state)
 
-    # grid along W: nh=64 fits, nw=128 > 64; stride = round(64*2/3) = 43
-    stride = round(64 * 2 / 3)
+    # grid along W: nh=64 fits, nw=128 > 64; stride = int(64*2/3) = 42
+    # (HRNet floor semantics)
+    stride = int(64 * 2 / 3)
     cols = 1 + -(-(128 - 64) // stride)  # 3
     pw = stride * (cols - 1) + 64
     xp = np.zeros((1, 64, pw, 3), np.float32)
@@ -142,3 +143,100 @@ def test_sliding_windows_count_average(rng, net):
         engine.make_ms_flip_inference(cfg, spec, params, state)(jnp.asarray(x))
     )
     _assert_probs_match(got, want)
+
+
+def _hrnet_multi_scale_oracle(
+    window_logits, x, *, scales, crop_hw, base, flip, num_classes
+):
+    """Independent numpy transcription of the HRNet-Semantic-Segmentation
+    `multi_scale_inference` protocol (the upstream implementation the
+    reference's dead TEST.MULTI_SCALE/FLIP_TEST flags once toggled —
+    reference configs/default.py:84-85): per scale, aspect-preserving
+    long-side resize to int(base*s+0.5); whole-(padded-)image inference
+    when it fits the crop, else a sliding grid with stride
+    int(crop*2/3) (numpy int() truncation) and count-averaged overlaps;
+    per-window flip averaging of un-exp'd CROP-RESOLUTION logits; exp'd
+    per-scale maps resized to the input size and summed.
+
+    `window_logits(win) -> (N, ch, cw, C)` full-resolution logits for one
+    crop-size window — the only model access; every piece of TTA
+    accounting here is written from the protocol, not from engine.py."""
+    crop_h, crop_w = crop_hw
+    n, ori_h, ori_w = x.shape[0], x.shape[1], x.shape[2]
+    stride_h, stride_w = max(1, int(crop_h * 2 / 3)), max(1, int(crop_w * 2 / 3))
+
+    def win_probs(win):
+        z = np.asarray(window_logits(win), np.float64)
+        if flip:
+            zf = np.asarray(window_logits(win[:, :, ::-1]), np.float64)
+            z = 0.5 * (z + zf[:, :, ::-1])
+        return np.exp(z)
+
+    final = np.zeros((n, ori_h, ori_w, num_classes), np.float64)
+    for s in scales:
+        if ori_h > ori_w:
+            nh = int(base * s + 0.5)
+            nw = max(1, int(ori_w * nh / ori_h + 0.5))
+        else:
+            nw = int(base * s + 0.5)
+            nh = max(1, int(ori_h * nw / ori_w + 0.5))
+        xs = (
+            x
+            if (nh, nw) == (ori_h, ori_w)
+            else np.asarray(resize_bilinear(jnp.asarray(x), (nh, nw), False))
+        )
+        if nh <= crop_h and nw <= crop_w:
+            xp = np.zeros((n, crop_h, crop_w, 3), np.float32)
+            xp[:, :nh, :nw] = xs
+            p = win_probs(xp)[:, :nh, :nw]
+        else:
+            rows = 1 + int(np.ceil((nh - crop_h) / stride_h))
+            cols = 1 + int(np.ceil((nw - crop_w) / stride_w))
+            ph = stride_h * (rows - 1) + crop_h
+            pw = stride_w * (cols - 1) + crop_w
+            xp = np.zeros((n, ph, pw, 3), np.float32)
+            xp[:, :nh, :nw] = xs
+            acc = np.zeros((n, ph, pw, num_classes), np.float64)
+            cnt = np.zeros((1, ph, pw, 1), np.float64)
+            for r in range(rows):
+                for q in range(cols):
+                    r0, q0 = r * stride_h, q * stride_w
+                    acc[:, r0 : r0 + crop_h, q0 : q0 + crop_w] += win_probs(
+                        xp[:, r0 : r0 + crop_h, q0 : q0 + crop_w]
+                    )
+                    cnt[:, r0 : r0 + crop_h, q0 : q0 + crop_w] += 1.0
+            p = (acc / cnt)[:, :nh, :nw]
+        if (nh, nw) != (ori_h, ori_w):
+            p = np.asarray(
+                resize_bilinear(jnp.asarray(p, jnp.float32), (ori_h, ori_w), False),
+                np.float64,
+            )
+        final = final + p
+    return final
+
+
+def test_hrnet_protocol_oracle(rng, net):
+    """The batched engine TTA (stacked window/flip model batches,
+    1/8-resolution flip averaging, one batched upsample) matches an
+    independent serial numpy transcription of the HRNet protocol — full
+    multi-scale sweep with a window grid, flip, and a non-fitting scale."""
+    spec, params, state = net
+    scales = (0.5, 1.0, 1.5)
+    cfg = _cfg((64, 64), 128, flip=True, ms=True, scales=scales)
+
+    x = rng.standard_normal((1, 64, 128, 3)).astype(np.float32)
+
+    def window_logits(win):
+        out = M.apply(params, state, jnp.asarray(np.ascontiguousarray(win)), spec,
+                      train=False)[1]
+        return resize_bilinear(out, (win.shape[1], win.shape[2]),
+                               cfg.MODEL.ALIGN_CORNERS)
+
+    want = _hrnet_multi_scale_oracle(
+        window_logits, x, scales=scales, crop_hw=(64, 64), base=128, flip=True,
+        num_classes=19,
+    )
+    got = np.asarray(
+        engine.make_ms_flip_inference(cfg, spec, params, state)(jnp.asarray(x))
+    )
+    _assert_probs_match(got, want, tol=0.02)
