@@ -117,9 +117,13 @@ class _ApplyOps:
 
         # transpose-free first conv: the raw NHWC image viewed as
         # (N,H,W/8,8*3) is a free reshape; a (9,2)-kernel stride-(8,1)
-        # conv emits the s2d4 layout directly (ops/space_to_depth.py)
+        # conv emits the s2d4 layout directly (ops/space_to_depth.py).
+        # Callers may pass the view pre-made (ops.space_to_depth.stem_view,
+        # free on host) so the graph holds NO reshape at all and XLA gives
+        # the entry argument the conv's preferred layout — otherwise the
+        # in-graph reshape costs a relayout copy (layout_probe.py).
         n, h, w, c = x.shape
-        z = x.reshape(n, h, w // 8, 8 * c)
+        z = x.reshape(n, h, w // 8, 8 * c) if c == 3 else x
         y = conv2d(
             z,
             self.params["s2d.conv1.0.wide_weight"],
@@ -674,9 +678,14 @@ def _hint(ops, name: str, x):
 
 
 def _forward(ops, x, spec: PIDNetSpec):
-    """Reference models/pidnet.py:136-182, NHWC."""
+    """Reference models/pidnet.py:136-182, NHWC.
+
+    `x` is either the raw (N,H,W,3) image batch or — folded stem_s2d only —
+    its free W-s2d view (N,H,W/8,24) from ops.space_to_depth.stem_view
+    (detected by the channel count; PIDNet input is always RGB)."""
     p = spec.planes
-    h8, w8 = x.shape[1] // 8, x.shape[2] // 8
+    w_full = x.shape[2] * 8 if x.shape[-1] == 24 else x.shape[2]
+    h8, w8 = x.shape[1] // 8, w_full // 8
 
     if getattr(ops, "stem_s2d", False):
         # stem+layer1+layer2 in space-to-depth space (folded: prebuilt

@@ -1,0 +1,90 @@
+"""AUTO argument layouts for inference pipelines.
+
+The reference benchmarks its BN-stripped speed copies with whatever layout
+cuDNN picks (models/speed/pidnet_speed.py:236-271 — torch hides layout
+entirely). On TPU the layout is OURS to choose: `jax.jit`'s default gives
+every entry argument the row-major-ish default layout, and XLA then inserts
+device copies to relayout the image batch into what the first conv wants
+(measured 0.92 ms/step of a ~17 ms batch-8 step at 1024x2048 — see
+scripts/layout_probe.py / scripts/xplane_busy.py).
+
+`AutoLayoutFn` compiles a function with AUTO argument layouts — XLA picks
+the entry layouts it prefers, so the input-side copies vanish from the
+graph — and places arguments into the resolved layouts with `device_put`.
+Host->device transfers write the custom tiled layout directly during the
+DMA, so serving pays nothing extra for the placement.
+
+Degrades to plain `jax.jit` when the layout API or AOT path is unavailable
+(e.g. exotic backends), so callers can use it unconditionally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util as jtu
+
+
+def _avalize(tree):
+    def one(a):
+        if isinstance(a, jax.ShapeDtypeStruct):
+            return a
+        return jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+
+    return jtu.tree_map(one, tree)
+
+
+class AutoLayoutFn:
+    """`f` compiled with XLA-chosen (AUTO) entry layouts.
+
+    Usage:
+        fn = AutoLayoutFn(f, example_arg0, example_arg1)
+        placed = fn.place(arg0, arg1)   # device_put into resolved layouts
+        out = fn(*placed)               # zero input-relayout copies
+
+    `place()` is cheap for already-placed arrays (device_put no-ops when
+    the layout already matches); call it once for loop-invariant arguments
+    (weights) and per-batch for streaming inputs.
+    """
+
+    def __init__(self, f, *example_args):
+        self._fallback = None
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            auto = Format(Layout.AUTO)
+            avals = tuple(_avalize(a) for a in example_args)
+            jf = jax.jit(f, in_shardings=(auto,) * len(example_args))
+            self._compiled = jf.lower(*avals).compile()
+            # (args, kwargs) pair; kwargs unused here
+            self._formats, _ = self._compiled.input_formats
+        except Exception:  # pragma: no cover - exotic backends
+            self._fallback = jax.jit(f)
+            self._compiled = None
+            self._formats = None
+
+    def place(self, *args):
+        """device_put each argument leaf into its resolved entry layout.
+
+        Leaves whose resolved layout is None (arguments the compiled graph
+        never reads) are placed with the default layout.
+        """
+        if self._formats is None:
+            placed = tuple(jax.device_put(a) for a in args)
+            return placed if len(placed) > 1 else placed[0]
+
+        def put(a, fmt):
+            if getattr(fmt, "layout", None) is None:
+                return jax.device_put(a)
+            return jax.device_put(a, fmt)
+
+        placed = tuple(
+            jtu.tree_map(put, arg, fmt)
+            for arg, fmt in zip(args, self._formats, strict=True)
+        )
+        return placed if len(placed) > 1 else placed[0]
+
+    def __call__(self, *args):
+        if self._fallback is not None:
+            return self._fallback(*args)
+        return self._compiled(*args)

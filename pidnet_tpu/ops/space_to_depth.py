@@ -52,6 +52,22 @@ def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return x.reshape(n, h * block, w * block, c_out)
 
 
+def stem_view(x):
+    """Free W-only s2d view of an NHWC image batch: (N,H,W,C) -> (N,H,W/8,8C).
+
+    A row-major reshape — on host numpy it is a zero-copy view. Feeding the
+    folded `stem_s2d` pipeline its input in this form (instead of (N,H,W,3))
+    removes the in-graph relayout XLA otherwise inserts to make the same
+    reshape a bitcast: no layout of the raw (N,H,W,3) shape is simultaneously
+    reshape-free and conv-ready, because the target layout would have to
+    split the W dimension (measured 0.92 ms/step at batch 8 @1024x2048,
+    scripts/layout_probe.py). `models.pidnet.stem_front` accepts either form.
+    """
+    n, h, w, c = x.shape
+    assert w % 8 == 0, (w,)
+    return x.reshape(n, h, w // 8, 8 * c)
+
+
 def s2d_conv_weight(w, in_block: int, stride: int = 2):
     """Re-index a kxk (k in {1,3}) stride-`stride` conv kernel (k,k,C,O)
     into an equivalent conv over s2d(in_block) input producing

@@ -142,18 +142,25 @@ def main(argv=None):
 
     if args.no_fold:
         fn = jax.jit(lambda x: M.apply(params, state, x, spec))
-        x = jnp.zeros((args.batch, h, w, 3), jnp.float32)
+        x = jax.device_put(jnp.zeros((args.batch, h, w, 3), jnp.float32))
     else:
+        from pidnet_tpu.ops.layouts import AutoLayoutFn
+
         folded = fold_params(params, state, spec)
-        # mirror engine.make_inference*'s folded pipeline (incl. wfold)
-        fn = jax.jit(
-            lambda x: M.apply(
-                folded, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16,
+        # mirror engine.make_inference*'s folded pipeline (incl. wfold) but
+        # with the free stem_view input form + AUTO entry layouts so the
+        # graph holds zero input-relayout copies (ops/layouts.py)
+        xv = jnp.zeros((args.batch, h, w // 8, 24), jnp.bfloat16)
+        afn = AutoLayoutFn(
+            lambda p, v: M.apply(
+                p, {}, v, spec, folded=True, compute_dtype=jnp.bfloat16,
                 stem_s2d=True, wfold=True,
-            )
+            ),
+            folded,
+            xv,
         )
-        x = jnp.zeros((args.batch, h, w, 3), jnp.bfloat16)
-    x = jax.device_put(x)
+        pf, x = afn.place(folded, xv)
+        fn = lambda v: afn(pf, v)
 
     print("=========Speed Testing=========")
     latency, fps = measure_fps(fn, x)
