@@ -56,6 +56,108 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return A
 
 
+# Constant-tap W-upsample kernels emitting the W-folded layout directly.
+# Interior align_corners=False phases are block-periodic, so the
+# upsample-then-wfold composition is a short conv over the (edge-
+# replicate padded) input columns. Tap tables: {(t, b): weight} places
+# `weight` at kernel tap t for output group b (out column f*J + b); each
+# (s=scale, f=fold) pair also fixes (T=kernel width, window stride,
+# lhs_dilation, right conv pad). For s=4, f=2 consecutive out blocks
+# interleave input parities, which an lhs_dilation=2 kernel expresses
+# (even taps hit real columns for even blocks, odd taps for odd blocks).
+_WFOLD_UP_FORMS = {
+    # s=2: out[2k] = 0.25 in[k-1] + 0.75 in[k]; out[2k+1] = 0.75/0.25
+    (2, 2): ({(0, 0): 0.25, (1, 0): 0.75, (1, 1): 0.75, (2, 1): 0.25},
+             3, 1, 1, 0),
+    (2, 4): ({(0, 0): 0.25, (1, 0): 0.75, (1, 1): 0.75, (2, 1): 0.25,
+              (1, 2): 0.25, (2, 2): 0.75, (2, 3): 0.75, (3, 3): 0.25},
+             4, 2, 1, 0),
+    # s=4 phases: 0.375/0.625, 0.125/0.875, 0.875/0.125, 0.625/0.375
+    (4, 4): ({(0, 0): 0.375, (1, 0): 0.625, (0, 1): 0.125, (1, 1): 0.875,
+              (1, 2): 0.875, (2, 2): 0.125, (1, 3): 0.625, (2, 3): 0.375},
+             3, 1, 1, 0),
+    (4, 2): ({(0, 0): 0.375, (2, 0): 0.625, (1, 0): 0.875, (3, 0): 0.125,
+              (0, 1): 0.125, (2, 1): 0.875, (1, 1): 0.625, (3, 1): 0.375},
+             5, 1, 2, 1),
+}
+
+
+@lru_cache(maxsize=None)
+def _wfold_up_kernel(c: int, f: int, s: int) -> tuple[np.ndarray, int, int, int]:
+    """(1,T,C,f*C) kernel + (stride, lhs_dilation, right_pad) for the
+    W-folded s-x bilinear upsample (see _WFOLD_UP_FORMS)."""
+    taps, T, stride, ld, pr = _WFOLD_UP_FORMS[(s, f)]
+    K = np.zeros((1, T, c, f * c), np.float32)
+    for (t, b), wgt in taps.items():
+        for ch in range(c):
+            K[0, t, ch, b * c + ch] = wgt
+    return K, stride, ld, pr
+
+
+def resize_wfold(x: jnp.ndarray, f: int, scale: int = 2) -> jnp.ndarray:
+    """Bilinear `scale`-x upsample (align_corners=False) emitting the
+    W-folded layout directly: (N,H,W,C) -> (N,sH,sW/f,f*C) with NO
+    reshape/relayout in the graph — H by the interpolation einsum, W by a
+    constant-tap MXU conv (`_wfold_up_kernel`; scale in {2,4}, f in
+    {2,4}). Bit-identical to `wfold(resize_bilinear(x, (sH,sW), False),
+    f)` in bf16 (one f32 accumulation, one rounding in both); fp32 agrees
+    to 1-2 ulp (the conv's FMA/accumulation order differs from the
+    einsum's).
+
+    Used to hand W-folded P/D branch stages their upsampled I-branch
+    partners (pag y/y_q at 1/16 and 1/32, diff3/diff4) without leaving
+    folded space (models/pidnet.py stay-folded region)."""
+    from jax import lax as _lax
+
+    s = int(scale)
+    n, h, w, c = x.shape
+    assert (s * w) % f == 0, (x.shape, f, s)
+    dtype = x.dtype
+    ah = jnp.asarray(_interp_matrix(h, s * h, False))
+    if dtype == jnp.bfloat16:
+        y = x  # bf16 operands, fp32 accumulation (see resize_bilinear)
+        precision = None
+    else:
+        y = x.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
+    yh = jnp.einsum(
+        "ph,nhwc->npwc",
+        ah.astype(y.dtype),
+        y,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # yh is fp32 here in both paths, exactly as between resize_bilinear's
+    # two einsums; the W-tap conv is the second contraction.
+    Knp, stride, ld, pr = _wfold_up_kernel(c, f, s)
+    K = jnp.asarray(Knp).astype(yh.dtype)
+    y = jnp.pad(yh, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    y = _lax.conv_general_dilated(
+        y,
+        K,
+        window_strides=(1, stride),
+        padding=((0, 0), (0, pr)),
+        lhs_dilation=(1, ld),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if dtype != jnp.bfloat16:
+        # The interpolation operator CLAMPS the source index at the s//2
+        # boundary columns per side (net weight 1.0 on the edge pixel);
+        # the periodic taps split that weight and re-sum it, off by 1 ulp
+        # in fp32 (exact in the bf16 path: f32 accumulation then one
+        # rounding). Overwrite for bitwise resize_bilinear parity there.
+        cb = s // 2
+        y = y.at[:, :, 0:1, 0 : cb * c].set(
+            jnp.tile(yh[:, :, 0:1, :], (1, 1, 1, cb))
+        )
+        y = y.at[:, :, -1:, (f - cb) * c :].set(
+            jnp.tile(yh[:, :, -1:, :], (1, 1, 1, cb))
+        )
+    return y.astype(dtype)
+
+
 def resize_bilinear(
     x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool
 ) -> jnp.ndarray:
