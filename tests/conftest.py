@@ -23,6 +23,32 @@ import pytest  # noqa: E402
 
 REFERENCE_ROOT = "/root/reference"
 
+# Quick pre-commit tier (`pytest -m quick`): the core-correctness modules
+# that together finish in <5 minutes on this host. Policy (README dev
+# loop): HEAD is never committed/snapshotted with this tier red; the full
+# suite (~45 min) runs before end-of-round. Module-level marking keeps
+# the tier's membership in one place.
+QUICK_MODULES = {
+    "test_bench_gate",
+    "test_blocks",
+    "test_cli",
+    "test_config",
+    "test_data",
+    "test_functional",
+    "test_goldens",
+    "test_layouts",
+    "test_losses",
+    "test_resize",
+    "test_resize_wfold",
+    "test_wfold",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "models"))

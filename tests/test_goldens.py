@@ -24,6 +24,32 @@ GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "classmaps_seed0.np
 SAMPLES = os.path.join(os.path.dirname(__file__), "..", "samples")
 
 
+def test_init_is_wiring_order_independent():
+    """init() derives each conv's PRNG key from the parameter NAME
+    (models/pidnet.py:_name_key), so re-ordering trace calls in a wiring
+    function must leave every initialized weight bitwise unchanged —
+    exactly the failure mode that silently reshuffled seed-0 weights in
+    round 4 (diff3 hoisted before pag3)."""
+    from types import SimpleNamespace
+
+    def fwd_ab(ops, x, spec):
+        a = ops.convbn("a.conv", "a.bn", x, 8, 3)
+        b = ops.conv("b.conv", x, 8, 3, bias=True)
+        return a + b
+
+    def fwd_ba(ops, x, spec):  # same graph, reversed registration order
+        b = ops.conv("b.conv", x, 8, 3, bias=True)
+        a = ops.convbn("a.conv", "a.bn", x, 8, 3)
+        return a + b
+
+    key = jax.random.PRNGKey(0)
+    pa, _ = M.init(key, SimpleNamespace(forward_fn=fwd_ab))
+    pb, _ = M.init(key, SimpleNamespace(forward_fn=fwd_ba))
+    assert pa.keys() == pb.keys()
+    for name in pa:
+        assert (np.asarray(pa[name]) == np.asarray(pb[name])).all(), name
+
+
 def test_frozen_classmaps_reproduce():
     cv2 = pytest.importorskip("cv2")
     goldens = np.load(GOLDENS)
