@@ -15,10 +15,20 @@ The FPS number is gated on ON-CHIP correctness (the reference merely
 assumed its hand-stripped speed copies matched, pidnet_speed.py:230-271;
 round-2 review demanded recorded hardware evidence):
 
-- `argmax_agreement`: class-map agreement of the benchmarked pipeline
-  (folded weights + bf16 + Pallas fused upsample-argmax) against the
-  fp32 XLA pipeline on a real Cityscapes frame (synthetic fallback),
-  asserted >= 0.995 — the run FAILS (exit 1) below that;
+- `pipeline_agreement`: the SAME speed-path composition (fold + s2d +
+  wfold) run in fp32 vs the plain fp32 pipeline — weight-independent,
+  catches composition bugs; floor 0.9995 (measured 1.0);
+- `argmax_agreement` / `confident_agreement`: the bf16 speed path vs the
+  fp32 pipeline on the trained train2k weights (runs/train2k — the
+  repo's released-checkpoint stand-in). Plain agreement has a ~0.99
+  tie-band ceiling at class boundaries; the hard floor is
+  confident_agreement >= 0.9999 over pixels the fp32 model decides with
+  margin > 1.0 (a real numerics bug flips confident pixels; measured
+  exactly 1.0 healthy);
+- regression gate vs the previous round's BENCH_r*.json record
+  (`gate_failures`): same-weights agreement deltas, pipeline delta, and
+  FPS >= 0.9x with the device-busy number able to rescue a
+  host-contended wall clock;
 - `smoke`: scripts/tpu_smoke.py --fast — Mosaic-compiles and executes
   ce_front fwd+bwd and upsample_argmax at the 1024x2048 shape that
   crashed in round 2, also a hard gate.
@@ -84,13 +94,10 @@ def gate_failures(cur: dict, prev: dict | None) -> list[str]:
     # a `weights` tag). pipeline_agreement (fp32 composition) is
     # weight-insensitive and always comparable.
     if prev.get("weights") == cur.get("weights"):
-        prev_agree = prev.get("argmax_agreement")
-        cur_agree = cur.get("argmax_agreement")
-        if prev_agree is not None and cur_agree is not None:
-            if cur_agree < prev_agree - 0.0005:
-                fails.append(
-                    f"agreement regression: {cur_agree:.6f} < prev {prev_agree:.6f} - 0.0005"
-                )
+        for key in ("argmax_agreement", "confident_agreement"):
+            pa, ca = prev.get(key), cur.get(key)
+            if pa is not None and ca is not None and ca < pa - 0.0005:
+                fails.append(f"{key} regression: {ca:.6f} < prev {pa:.6f} - 0.0005")
     prev_pipe = prev.get("pipeline_agreement")
     cur_pipe = cur.get("pipeline_agreement")
     if prev_pipe is not None and cur_pipe is not None:
@@ -212,13 +219,29 @@ def main():
     speed_map = np.asarray(
         jax.jit(lambda logits: upsample_argmax(logits, out_hw, True))(fn(x))
     )
-    ref_fn = jax.jit(
-        lambda v: _xla_upsample_argmax(
+    def ref_maps(v):
+        from pidnet_tpu.ops.resize import resize_bilinear
+
+        logits = resize_bilinear(
             M.apply(params, state, v, spec, train=False), out_hw, True
         )
-    )
-    ref_map = np.asarray(ref_fn(jnp.asarray(x_np)))
+        top2, _ = jax.lax.top_k(logits, 2)
+        return (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            (top2[..., 0] - top2[..., 1]).astype(jnp.float16),
+        )
+
+    ref_map, margin = map(np.asarray, jax.jit(ref_maps)(jnp.asarray(x_np)))
     agreement = float((speed_map == ref_map).mean())
+    # Margin-aware accuracy proxy: plain argmax agreement has an inherent
+    # ~0.99 ceiling from interpolation tie-bands at class boundaries
+    # (bf16 coin-flips exact ties; measured p99.9 flip margin 0.54, max
+    # 0.64 on trained weights with logit std 3.4). A real numerics bug
+    # flips CONFIDENT pixels, so the hard gate is agreement over pixels
+    # the fp32 model decides with margin > 1.0 (86% of the frame,
+    # measured exactly 1.0 on a healthy pipeline).
+    conf = margin > 1.0
+    confident_agreement = float((speed_map == ref_map)[conf].mean())
     # (2) the SAME speed-path composition in fp32 vs the plain fp32
     #     pipeline — isolates pipeline-composition bugs (fold/s2d/wfold/
     #     layouts) from bf16 rounding; weight-draw-independent (measured
@@ -247,6 +270,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "argmax_agreement": round(agreement, 6),
+        "confident_agreement": round(confident_agreement, 6),
         "pipeline_agreement": round(pipeline_agreement, 6),
         "weights": weights_tag,
         "smoke": "pass" if smoke_rc == 0 else "FAIL",
@@ -262,7 +286,8 @@ def main():
     # bf16 accuracy proxy gates at 0.995 on trained weights (on the
     # calibrated-init fallback it is draw-noise and only reported)
     floor_fail = pipeline_agreement < 0.9995 or (
-        weights_tag == "trained-train2k" and agreement < 0.995
+        weights_tag == "trained-train2k"
+        and (agreement < 0.985 or confident_agreement < 0.9999)
     )
     if floor_fail or smoke_rc != 0 or fails:
         sys.exit(1)

@@ -21,6 +21,7 @@ def bench():
 PREV = {
     "value": 496.0,
     "argmax_agreement": 0.9992,
+    "confident_agreement": 1.0,
     "pipeline_agreement": 0.999995,
     "weights": "trained-train2k",
 }
@@ -41,6 +42,13 @@ def test_gate_trips_on_agreement_drift(bench):
     cur = dict(PREV, value=500.0, argmax_agreement=0.9975)
     fails = bench.gate_failures(cur, PREV)
     assert any("agreement regression" in f for f in fails)
+
+
+def test_gate_trips_on_confident_agreement_drift(bench):
+    # the accuracy metric of record: bf16 flipping fp32-confident pixels
+    cur = dict(PREV, confident_agreement=0.999)
+    fails = bench.gate_failures(cur, PREV)
+    assert any("confident_agreement regression" in f for f in fails)
 
 
 def test_gate_trips_on_pipeline_drift(bench):
