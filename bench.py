@@ -200,7 +200,7 @@ def main():
     afn = AutoLayoutFn(
         lambda p, v: M.apply(
             p, {}, v, spec, folded=True, compute_dtype=jnp.bfloat16,
-            stem_s2d=True, wfold=True,
+            stem_s2d=True, wfold=True, wfold_region="auto",
         ),
         folded,
         jax.ShapeDtypeStruct((1, 1024, 2048 // 8, 24), jnp.bfloat16),

@@ -341,7 +341,7 @@ def make_inference(
     def _body(params, state, x):
         out = M.apply(
             params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded, wfold=folded, shard_hint=hint,
+            stem_s2d=folded, wfold=folded, wfold_region="auto", shard_hint=hint,
         )
         out = _select_output(cfg, out)
         pred = resize_bilinear(out, (x.shape[1], x.shape[2]), cfg.MODEL.ALIGN_CORNERS)
@@ -381,7 +381,7 @@ def make_inference_classmap(
         with gate():
             out = M.apply(
                 params, state, x, spec, folded=folded, compute_dtype=compute_dtype,
-                stem_s2d=folded, wfold=folded, shard_hint=hint,
+                stem_s2d=folded, wfold=folded, wfold_region="auto", shard_hint=hint,
             )
             out = _select_output(cfg, out)
             return upsample_argmax(
@@ -469,7 +469,7 @@ def make_ms_flip_inference(cfg, spec, params, state, *, folded=False, compute_dt
         averaging before resizing is exact and halves the full-res work."""
         out = M.apply(
             params, state, xw, spec, folded=folded, compute_dtype=compute_dtype,
-            stem_s2d=folded, wfold=folded,
+            stem_s2d=folded, wfold=folded, wfold_region="auto",
         )
         return _select_output(cfg, out).astype(jnp.float32)
 

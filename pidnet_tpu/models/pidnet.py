@@ -80,6 +80,7 @@ class _ApplyOps:
         folded: bool,
         stem_s2d: bool = False,
         wfold: bool = False,
+        wfold_region=False,
         shard_hint=None,
         sample_weight=None,
     ):
@@ -91,6 +92,7 @@ class _ApplyOps:
         self.folded = folded
         self.stem_s2d = stem_s2d
         self.wfold = wfold
+        self.wfold_region = wfold_region
         self.shard_hint = shard_hint
         self.sample_weight = sample_weight
         self.new_state: dict = {}
@@ -489,6 +491,21 @@ def _stage_no_relu(i: int, blocks: int, default: bool) -> bool:
     return default if i == 0 else i == blocks - 1
 
 
+def _wf_stage(ops, prefix, xf, block, planes, blocks, f):
+    """Sequential stage on an ALREADY-folded tensor (folded in, folded
+    out) — the stay-folded region building block."""
+    fn, default_no_relu = _WF_BLOCK[block]
+    for i in range(blocks):
+        no_relu = _stage_no_relu(i, blocks, default_no_relu)
+        xf = fn(ops, f"{prefix}.{i}", xf, planes, f, no_relu)
+    return xf
+
+
+def _wf_single(ops, prefix, xf, block, planes, f):
+    fn, _ = _WF_BLOCK[block]
+    return fn(ops, prefix, xf, planes, f, no_relu=True)
+
+
 def _wf_layer(ops, prefix, x, block, planes, blocks):
     """W-folded `_layer` (stride-1 stages only); falls back to the normal
     layout when folding is off or not applicable (C>=128, odd widths)."""
@@ -497,12 +514,7 @@ def _wf_layer(ops, prefix, x, block, planes, blocks):
         return _layer(ops, prefix, x, block, planes, blocks)
     from pidnet_tpu.ops.wfold import wfold, wunfold
 
-    fn, default_no_relu = _WF_BLOCK[block]
-    xf = wfold(x, f)
-    for i in range(blocks):
-        no_relu = _stage_no_relu(i, blocks, default_no_relu)
-        xf = fn(ops, f"{prefix}.{i}", xf, planes, f, no_relu)
-    return wunfold(xf, f)
+    return wunfold(_wf_stage(ops, prefix, wfold(x, f), block, planes, blocks, f), f)
 
 
 def _wf_single_layer(ops, prefix, x, block, planes):
@@ -563,6 +575,38 @@ def _pagfm(ops, prefix, x, y, mid, *, after_relu=False, with_channel=False):
         sim = sigmoid(jnp.sum(x_k * y_q, axis=-1, keepdims=True))
     y_up = resize_bilinear(y, hw, False)
     return (1 - sim) * x + sim * y_up
+
+
+def _pagfm_wf(ops, prefix, xf, y, mid, f, *, after_relu=False):
+    """PagFM with the P-branch input in W-folded layout (the stay-folded
+    region; with_channel=False form only — stock PIDNet's, reference
+    model_utils.py:268-312).
+
+    Folded-exact recomposition: f_x is the eye-expanded block-diagonal
+    1x1; the two upsamples of the lower-res partner enter folded space
+    through `ops.resize.resize_wfold` (constant-tap MXU conv, no
+    relayout; oracle-tested in tests/test_resize_wfold.py); the
+    per-pixel channel sum runs per folded group via a minor-axis
+    (f, mid) split-sum, and sim broadcasts back over each group's `mid`
+    channels with jnp.repeat — both fuse into the elementwise blend.
+    Matches `_pagfm` on the unfolded tensor (tests/test_wfold_region.py)."""
+    from pidnet_tpu.ops.resize import resize_wfold
+    from pidnet_tpu.ops.wfold import eye_factor
+
+    n, h, b, fc = xf.shape
+    s = h // y.shape[1]  # 2 for pag3 (1/16 partner), 4 for pag4 (1/32)
+    if after_relu:
+        xf, y = relu(xf), relu(y)
+    y_q = ops.convbn(f"{prefix}.f_y.0", f"{prefix}.f_y.1", y, mid, 1)
+    y_qf = resize_wfold(y_q, f, s)
+    x_kf = _wf_convbn(
+        ops, f"{prefix}.f_x.0", f"{prefix}.f_x.1", xf, eye_factor(f), (0, 0), f
+    )
+    prod = (x_kf * y_qf).reshape(n, h, b, f, mid)
+    sim = sigmoid(jnp.sum(prod, axis=-1))  # (n,h,b,f): one scalar per column
+    simf = jnp.repeat(sim, fc // f, axis=-1)  # group g -> channels g*C..(g+1)*C
+    y_upf = resize_wfold(y, f, s)
+    return (1 - simf) * xf + simf * y_upf
 
 
 def _scale_branch(ops, prefix, x, pooled, bp, hw):
@@ -699,44 +743,111 @@ def _forward(ops, x, spec: PIDNetSpec):
         x = _layer(ops, "layer1", x, "basic", p, spec.m)
         x = relu(_layer(ops, "layer2", relu(x), "basic", p * 2, spec.m, stride=2))
 
-    x_ = _wf_layer(ops, "layer3_", x, "basic", p * 2, spec.m)  # P @1/8
-    if spec.m == 2:
-        x_d = _wf_single_layer(ops, "layer3_d", x, "basic", p)  # D @1/8 (S/M)
+    # Stay-folded region (opt-in, `wfold_region`): when a P/D branch folds
+    # (planes < 128, even 1/8-res grid), fold ONCE at its entry and unfold
+    # ONCE at its exit — the pag/diff fusions between stages run folded
+    # too, their upsampled 1/16 and 1/32 partners entering folded space
+    # through resize_wfold (a constant-tap MXU conv) instead of
+    # resize+reshape. This removes the per-stage wfold/wunfold relayout
+    # copies XLA inserts when the lane dimension changes (batch-1 copy
+    # budget: 0.61 ms of the 2.0 ms step, docs/DESIGN.md round 5).
+    # `wfold_region` accepts True / "p" / "d" so each branch A/Bs alone.
+    from pidnet_tpu.ops.resize import resize_wfold
+    from pidnet_tpu.ops.wfold import wfold, wunfold
+
+    region = getattr(ops, "wfold_region", False)
+    if region == "auto":
+        # Chip A/B at 1024x2048 (device-busy ms/step, docs/DESIGN.md r5):
+        # batch 1: 2.00 off / 2.20 on; batch 2: 4.00/4.45; batch 4:
+        # 8.30/9.17; batch 8: 15.21/13.66 (+11%). The folded blend
+        # tensors only get copy-free layouts once the batch fills the
+        # 8-wide sublane axis, so engage at batch >= 8 exactly.
+        region = x.shape[0] >= 8
+    d3_planes = p if spec.m == 2 else p * 2
+    wf_on = (
+        bool(region)
+        and getattr(ops, "wfold", False)
+        and not ALGC  # resize_wfold implements align_corners=False only
+        and h8 % 4 == 0  # 1/32 partners must up-sample exactly 4x
+        and w8 % 4 == 0
+        and w8 // 2 >= 2
+    )
+    on_p = region is True or (isinstance(region, str) and "p" in region)
+    on_d = region is True or (isinstance(region, str) and "d" in region)
+    f_p = 2 if wf_on and on_p and p * 2 < 128 else None
+    f_d = 2 if wf_on and on_d and d3_planes < 128 else None
+
+    if f_p is not None:  # P @1/8
+        x_pf = _wf_stage(ops, "layer3_", wfold(x, f_p), "basic", p * 2, spec.m, f_p)
     else:
-        x_d = _wf_single_layer(ops, "layer3_d", x, "basic", p * 2)  # (L)
+        x_ = _wf_layer(ops, "layer3_", x, "basic", p * 2, spec.m)
+    if f_d is not None:  # D @1/8
+        x_df = _wf_single(ops, "layer3_d", wfold(x, f_d), "basic", d3_planes, f_d)
+    else:
+        x_d = _wf_single_layer(ops, "layer3_d", x, "basic", d3_planes)
 
     x = relu(_layer(ops, "layer3", x, "basic", p * 4, spec.n, stride=2))  # I @1/16
     comp3 = ops.convbn("compression3.0", "compression3.1", x, p * 2, 1)
-    x_ = _pagfm(ops, "pag3", x_, comp3, p)
-    diff3_planes = p if spec.m == 2 else p * 2
-    x_d = x_d + resize_bilinear(
-        ops.convbn("diff3.0", "diff3.1", x, diff3_planes, 3), (h8, w8), ALGC
-    )
-    # The reference saves temp_p = x_ here (pidnet.py:154) but its inplace
-    # ReLU at pidnet.py:157 then mutates that saved tensor, so seghead_p
-    # effectively consumes relu(pag3 output). Reproduce that dataflow.
-    x_ = relu(x_)
-    temp_p = x_
+    # The reference saves temp_p = x_ after pag3 (pidnet.py:154) but its
+    # inplace ReLU at pidnet.py:157 then mutates that saved tensor, so
+    # seghead_p effectively consumes relu(pag3 output). Reproduce that.
+    if f_p is not None:
+        x_pf = relu(_pagfm_wf(ops, "pag3", x_pf, comp3, p, f_p))
+        temp_p_f = x_pf
+    else:
+        x_ = relu(_pagfm(ops, "pag3", x_, comp3, p))
+        temp_p = x_
+    dif3 = ops.convbn("diff3.0", "diff3.1", x, d3_planes, 3)
+    if f_d is not None:
+        x_df = x_df + resize_wfold(dif3, f_d, 2)
+    else:
+        x_d = x_d + resize_bilinear(dif3, (h8, w8), ALGC)
 
     x = relu(_layer(ops, "layer4", x, "basic", p * 8, spec.n, stride=2))  # I @1/32
-    x_ = _wf_layer(ops, "layer4_", x_, "basic", p * 2, spec.m)
+    if f_p is not None:
+        x_pf = _wf_stage(ops, "layer4_", x_pf, "basic", p * 2, spec.m, f_p)
+    else:
+        x_ = _wf_layer(ops, "layer4_", x_, "basic", p * 2, spec.m)
     if spec.m == 2:
-        x_d = _wf_layer(ops, "layer4_d", relu(x_d), "bottleneck", p, 1)
+        if f_d is not None:
+            x_df = _wf_stage(ops, "layer4_d", relu(x_df), "bottleneck", p, 1, f_d)
+        else:
+            x_d = _wf_layer(ops, "layer4_d", relu(x_d), "bottleneck", p, 1)
+    elif f_d is not None:
+        x_df = _wf_single(ops, "layer4_d", relu(x_df), "basic", p * 2, f_d)
     else:
         x_d = _wf_single_layer(ops, "layer4_d", relu(x_d), "basic", p * 2)
 
     comp4 = ops.convbn("compression4.0", "compression4.1", x, p * 2, 1)
-    x_ = _pagfm(ops, "pag4", x_, comp4, p)
-    x_d = x_d + resize_bilinear(
-        ops.convbn("diff4.0", "diff4.1", x, p * 2, 3), (h8, w8), ALGC
-    )
+    if f_p is not None:
+        x_pf = _pagfm_wf(ops, "pag4", x_pf, comp4, p, f_p)
+    else:
+        x_ = _pagfm(ops, "pag4", x_, comp4, p)
+    dif4 = ops.convbn("diff4.0", "diff4.1", x, p * 2, 3)
     # Same inplace-ReLU aliasing as temp_p: the reference's relu at
     # pidnet.py:169 mutates temp_d (saved at :166) before seghead_d runs.
-    x_d = relu(x_d)
-    temp_d = x_d
+    if f_d is not None:
+        x_df = relu(x_df + resize_wfold(dif4, f_d, 4))
+        temp_d_f = x_df
+    else:
+        x_d = relu(x_d + resize_bilinear(dif4, (h8, w8), ALGC))
+        temp_d = x_d
 
-    x_ = _wf_layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
-    x_d = _wf_layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
+    if f_p is not None:
+        x_ = wunfold(
+            _wf_stage(ops, "layer5_", relu(x_pf), "bottleneck", p * 2, 1, f_p), f_p
+        )
+    else:
+        x_ = _wf_layer(ops, "layer5_", relu(x_), "bottleneck", p * 2, 1)
+    if f_d is not None:
+        if p * 2 < 128:
+            x_d = wunfold(
+                _wf_stage(ops, "layer5_d", x_df, "bottleneck", p * 2, 1, f_d), f_d
+            )
+        else:  # M: 128-ch layer5_d gains nothing folded — unfold first
+            x_d = _layer(ops, "layer5_d", wunfold(x_df, f_d), "bottleneck", p * 2, 1)
+    else:
+        x_d = _wf_layer(ops, "layer5_d", x_d, "bottleneck", p * 2, 1)
     # "pre_spp"/"post_spp": under spatial (H-dim) sharding the caller
     # un-shards H here — the 1/64 PPM maps are tiny (16x32 at 1024x2048),
     # so sharding them is all collective overhead, and the giant-padding
@@ -757,6 +868,10 @@ def _forward(ops, x, spec: PIDNetSpec):
     out = _segmenthead(ops, "final_layer", fused, spec.head_planes, spec.num_classes)
 
     if spec.augment:
+        if f_p is not None:
+            temp_p = wunfold(temp_p_f, f_p)  # heads read the normal layout
+        if f_d is not None:
+            temp_d = wunfold(temp_d_f, f_d)
         x_extra_p = _segmenthead(ops, "seghead_p", temp_p, spec.head_planes, spec.num_classes)
         x_extra_d = _segmenthead(ops, "seghead_d", temp_d, p, 1)
         return [x_extra_p, out, x_extra_d]
@@ -852,6 +967,7 @@ def apply(
     folded: bool = False,
     stem_s2d: bool = False,
     wfold: bool = False,
+    wfold_region=False,
     shard_hint=None,
     sample_weight=None,
 ):
@@ -880,6 +996,7 @@ def apply(
         folded=folded,
         stem_s2d=stem_s2d,
         wfold=wfold,
+        wfold_region=wfold_region,
         shard_hint=shard_hint,
         sample_weight=sample_weight,
     )

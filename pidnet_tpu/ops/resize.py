@@ -94,6 +94,32 @@ def _wfold_up_kernel(c: int, f: int, s: int) -> tuple[np.ndarray, int, int, int]
     return K, stride, ld, pr
 
 
+# H-axis s-x upsample as a dilated conv (bf16 speed path only). The
+# interior align_corners=False phases are the same 2-tap forms as the W
+# tables; with the input edge-padded by one row and lhs_dilation=s, one
+# shared kernel of width 2s encodes every phase (tap parity selects the
+# real rows). Why a conv and not the interpolation einsum: the einsum is
+# lowered as a batched matmul whose output XLA lays out matmul-style
+# ({3,0,2,1:T(2,128)}), and every folded elementwise consumer downstream
+# inherits that layout — measured +0.44 ms/step of copies at batch 1 in
+# the stay-folded region. A conv keeps the NHWC conv layout family end
+# to end. taps: (weights, pl, pr) for padding=((pl,pr),...).
+_H_UP_FORMS = {
+    2: ([0.25, 0.75, 0.75, 0.25], 0, 0),
+    4: ([0.125, 0.375, 0.625, 0.875, 0.875, 0.625, 0.375, 0.125], 1, 1),
+}
+
+
+@lru_cache(maxsize=None)
+def _h_up_kernel(c: int, s: int) -> tuple[np.ndarray, int, int]:
+    taps, pl, pr = _H_UP_FORMS[s]
+    K = np.zeros((len(taps), 1, c, c), np.float32)
+    for t, wgt in enumerate(taps):
+        for ch in range(c):
+            K[t, 0, ch, ch] = wgt
+    return K, pl, pr
+
+
 def resize_wfold(x: jnp.ndarray, f: int, scale: int = 2) -> jnp.ndarray:
     """Bilinear `scale`-x upsample (align_corners=False) emitting the
     W-folded layout directly: (N,H,W,C) -> (N,sH,sW/f,f*C) with NO
@@ -109,27 +135,57 @@ def resize_wfold(x: jnp.ndarray, f: int, scale: int = 2) -> jnp.ndarray:
     folded space (models/pidnet.py stay-folded region)."""
     from jax import lax as _lax
 
+    from jax import lax as _lax2
+
     s = int(scale)
     n, h, w, c = x.shape
     assert (s * w) % f == 0, (x.shape, f, s)
     dtype = x.dtype
-    ah = jnp.asarray(_interp_matrix(h, s * h, False))
     if dtype == jnp.bfloat16:
-        y = x  # bf16 operands, fp32 accumulation (see resize_bilinear)
+        # speed path: H-upsample as a dilated conv (layout-friendly, see
+        # _H_UP_FORMS). Bit-equal to the einsum: each output row is a
+        # 2-tap interpolation whose bf16 products are exact in f32 and
+        # whose 2-term f32 sum is correctly rounded in any order.
+        y = x
         precision = None
+        Kh, pl, pr = _h_up_kernel(c, s)
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+        yh = _lax2.conv_general_dilated(
+            yp,
+            jnp.asarray(Kh).astype(y.dtype),
+            window_strides=(1, 1),
+            padding=((pl, pr), (0, 0)),
+            lhs_dilation=(s, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
     else:
+        # parity path: the fp32 interpolation einsum (Precision.HIGHEST),
+        # bitwise-comparable with resize_bilinear's H contraction
         y = x.astype(jnp.float32)
         precision = jax.lax.Precision.HIGHEST
-    yh = jnp.einsum(
-        "ph,nhwc->npwc",
-        ah.astype(y.dtype),
-        y,
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+        ah = jnp.asarray(_interp_matrix(h, s * h, False))
+        yh = jnp.einsum(
+            "ph,nhwc->npwc",
+            ah.astype(y.dtype),
+            y,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
     # yh is fp32 here in both paths, exactly as between resize_bilinear's
     # two einsums; the W-tap conv is the second contraction.
-    Knp, stride, ld, pr = _wfold_up_kernel(c, f, s)
+    #
+    # Forms whose folded width exceeds the input width ((4,2): out W' =
+    # 2w) are computed in the WIDEST tap form ((4,s') with s'=s, a plain
+    # stride-1 T=3 conv emitting all s phases as channel groups) and then
+    # W-split by a free reshape (N,sH,w,s*C) -> (N,sH,sw/f,f*C). The
+    # direct lhs_dilation=2 kernel is mathematically identical but
+    # lowers as a transposed conv whose output XLA lays out T(2,128),
+    # poisoning every downstream folded elementwise with relayout copies
+    # (measured +0.4 ms/step at batch 1, docs/DESIGN.md round 5).
+    fw = max(f, s)
+    Knp, stride, ld, pr = _wfold_up_kernel(c, fw, s)
+    assert ld == 1, (s, fw)  # no lhs_dilation form is ever used now
     K = jnp.asarray(Knp).astype(yh.dtype)
     y = jnp.pad(yh, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
     y = _lax.conv_general_dilated(
@@ -137,11 +193,13 @@ def resize_wfold(x: jnp.ndarray, f: int, scale: int = 2) -> jnp.ndarray:
         K,
         window_strides=(1, stride),
         padding=((0, 0), (0, pr)),
-        lhs_dilation=(1, ld),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    if fw != f:
+        n_, h_, w_, c_ = y.shape
+        y = y.reshape(n_, h_, w_ * (fw // f), c_ // (fw // f))
     if dtype != jnp.bfloat16:
         # The interpolation operator CLAMPS the source index at the s//2
         # boundary columns per side (net weight 1.0 on the edge pixel);

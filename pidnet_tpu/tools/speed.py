@@ -154,7 +154,7 @@ def main(argv=None):
         afn = AutoLayoutFn(
             lambda p, v: M.apply(
                 p, {}, v, spec, folded=True, compute_dtype=jnp.bfloat16,
-                stem_s2d=True, wfold=True,
+                stem_s2d=True, wfold=True, wfold_region="auto",
             ),
             folded,
             xv,

@@ -33,7 +33,7 @@ folded = fold_params(params, state, spec)
 
 apply = lambda p, x: M.apply(
     p, {}, x, spec, folded=True, compute_dtype=jnp.bfloat16,
-    stem_s2d=True, wfold=True,
+    stem_s2d=True, wfold=True, wfold_region="auto",
 )
 
 view = (lambda a: a) if os.environ.get("NOVIEW") else stem_view
