@@ -54,10 +54,16 @@ else:
         fns[b] = AutoLayoutFn(apply, folded, xv)
         args[b] = fns[b].place(folded, xv)
         assert fns[b]._fallback is None, "AUTO layout path unavailable"
+        # warm immediately: interleaving later compiles between place()
+        # and the first call has produced stale-layout arguments (see
+        # AutoLayoutFn.place verify note)
+        for _ in range(5):
+            jax.block_until_ready(fns[b](*args[b]))
 
-for b in batches:  # compile + warm
-    for _ in range(5):
-        jax.block_until_ready(fns[b](*args[b]))
+if os.environ.get("NOAUTO"):
+    for b in batches:  # compile + warm
+        for _ in range(5):
+            jax.block_until_ready(fns[b](*args[b]))
 
 N = 50
 times = {b: [] for b in batches}

@@ -28,7 +28,8 @@ REGION = {"off": False, "on": True}.get(
     sys.argv[4] if len(sys.argv) > 4 else "off", sys.argv[4] if len(sys.argv) > 4 else False
 )
 
-spec = M.spec_for("pidnet_s", 19, augment=False)
+ARCH = os.environ.get("ARCH", "pidnet_s")
+spec = M.spec_for(ARCH, 19, augment=False)
 params, state = M.init(jax.random.PRNGKey(0), spec)
 folded = fold_params(params, state, spec)
 afn = AutoLayoutFn(
@@ -51,9 +52,9 @@ for _ in range(N):
     out = afn(pf, x)
 jax.block_until_ready(out)
 dt = (time.perf_counter() - t0) / N
-print(f"wall: {dt*1000:.3f} ms/call  ({BATCH/dt:.1f} img/s)  batch={BATCH} region={REGION}")
+print(f"wall: {dt*1000:.3f} ms/call  ({BATCH/dt:.1f} img/s)  batch={BATCH} region={REGION} arch={ARCH}")
 
-trace_dir = f"/tmp/trace_bench_b{BATCH}_{REGION}"
+trace_dir = f"/tmp/trace_bench_{ARCH}_b{BATCH}_{REGION}"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
     for _ in range(20):
