@@ -60,7 +60,9 @@ def test_identity_scale_matches_single_scale(rng, net):
     got = np.asarray(
         engine.make_ms_flip_inference(cfg, spec, params, state)(jnp.asarray(x))
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # same math, different jit fusion boundaries since the round-5 fused
+    # per-scale program (see test_multi_scale_sums_resized_probs note)
+    _assert_probs_match(got, want)
 
 
 def test_flip_averages_logits(rng, net):
@@ -110,7 +112,11 @@ def test_multi_scale_sums_resized_probs(rng, net):
     got = np.asarray(
         engine.make_ms_flip_inference(cfg, spec, params, state)(jnp.asarray(x))
     )
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # round 5 fused each scale into one jitted program (host-dispatch fix);
+    # XLA fusion reassociates the resize->exp composition, so raw prob
+    # comparison carries ~2e-4 relative noise at random-init logit scales —
+    # compare in clipped log space like the other accounting tests
+    _assert_probs_match(got, want)
 
 
 def test_sliding_windows_count_average(rng, net):
