@@ -150,9 +150,15 @@ def resize_wfold(x: jnp.ndarray, f: int, scale: int = 2) -> jnp.ndarray:
         precision = None
         Kh, pl, pr = _h_up_kernel(c, s)
         yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+        # operands cast to f32 at DEFAULT precision: the MXU still runs
+        # one bf16 pass, and both tap weights and the bf16-cast inputs
+        # are bf16-exact, so the products are bit-identical to bf16
+        # operands — while keeping every conv dtype f32 so the AD
+        # transpose is well-typed (mixed bf16-in/f32-out convs fail
+        # lax.conv_general_dilated's dtype check in the backward pass).
         yh = _lax2.conv_general_dilated(
-            yp,
-            jnp.asarray(Kh).astype(y.dtype),
+            yp.astype(jnp.float32),
+            jnp.asarray(Kh),
             window_strides=(1, 1),
             padding=((pl, pr), (0, 0)),
             lhs_dilation=(s, 1),

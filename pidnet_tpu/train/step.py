@@ -83,6 +83,7 @@ def make_train_step(
     compute_dtype=None,
     stem_s2d: bool = True,
     wfold: bool = True,
+    wfold_region=False,
     pad_batch: bool = True,
     accum_steps: int = 1,
 ):
@@ -148,6 +149,7 @@ def make_train_step(
                 compute_dtype=compute_dtype,
                 stem_s2d=stem_s2d,
                 wfold=wfold,
+                wfold_region=wfold_region,
                 sample_weight=sample_weight,
             )
             loss, metrics = loss_fn(

@@ -86,3 +86,26 @@ def test_gate_reads_previous_round_record(bench, tmp_path):
 
 def test_no_previous_record_is_permissive(bench):
     assert bench.gate_failures({"value": 1.0, "argmax_agreement": 0.0}, None) == []
+
+
+def test_committed_weights_artifact_matches_model_spec(bench):
+    """The train2k weights bench gates numerics on must load and cover
+    every parameter/state the PIDNet-S trace expects (a drifted artifact
+    would silently fall back or crash bench on the chip)."""
+    import numpy as np
+    import jax
+
+    from pidnet_tpu.models import pidnet as M
+
+    spec = M.spec_for("pidnet_s", 19, augment=False)
+    params, state, tag = bench._load_weights(spec)
+    if tag != "trained-train2k":
+        import pytest
+
+        pytest.skip("runs/train2k artifact not recorded yet")
+    want_p, want_s = M.init(jax.random.PRNGKey(0), M.spec_for("pidnet_s", 19, augment=True))
+    assert set(params) == set(want_p)
+    assert set(state) == set(want_s)
+    for k, v in params.items():
+        assert v.shape == want_p[k].shape, k
+        assert np.isfinite(np.asarray(v)).all(), k
