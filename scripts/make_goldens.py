@@ -81,6 +81,21 @@ def main():
     np.savez_compressed(path, **maps)
     print(f"wrote {path}")
 
+    trained = os.path.join(REPO, "runs", "train2k", "weights_f16.npz")
+    if os.path.exists(trained):
+        # trained-weights goldens: REAL decision boundaries (the train2k
+        # released-checkpoint stand-in), a stronger regression anchor
+        # than the random-init maps
+        import jax.numpy as jnp
+
+        z = np.load(trained)
+        tp = {k[2:]: jnp.asarray(z[k], jnp.float32) for k in z.files if k.startswith("p.")}
+        ts_ = {k[2:]: jnp.asarray(z[k], jnp.float32) for k in z.files if k.startswith("s.")}
+        maps = class_maps(tp, ts_, spec)
+        path = os.path.join(out_dir, "classmaps_train2k.npz")
+        np.savez_compressed(path, **maps)
+        print(f"wrote {path}")
+
     if len(sys.argv) > 1:
         from pidnet_tpu.convert.torch_weights import load_torch_checkpoint
 
