@@ -25,6 +25,11 @@ import jax.numpy as jnp
 from jax import tree_util as jtu
 
 
+class _LayoutNotHonored(Exception):
+    """The backend returned a different layout than requested (see
+    AutoLayoutFn.place): signal to degrade to the plain-jit fallback."""
+
+
 def _avalize(tree):
     def one(a):
         if isinstance(a, jax.ShapeDtypeStruct):
@@ -48,6 +53,7 @@ class AutoLayoutFn:
     """
 
     def __init__(self, f, *example_args):
+        self._f = f
         self._fallback = None
         try:
             from jax.experimental.layout import Format, Layout
@@ -95,17 +101,26 @@ class AutoLayoutFn:
             # same-shaped put requested (observed: requested (0,2,3,1),
             # got (0,1,3,2) for PIDNet-M/L putting two same-shaped
             # tensors to different layouts). A jitted identity with
-            # `out_shardings=fmt` keys on the layout correctly; verify
-            # and fall through only if the backend honored it.
+            # `out_shardings=fmt` keys on the layout correctly; verify —
+            # if the backend STILL hands back a different layout, degrade
+            # to the plain-jit fallback (correct everywhere, pays the
+            # input relayout in-graph) instead of crashing the caller.
             out = jax.jit(lambda t: t, out_shardings=fmt)(a)
             got = out.format.layout
-            assert got == fmt.layout, (got, fmt.layout)
+            if got != fmt.layout:
+                raise _LayoutNotHonored(f"{got} != {fmt.layout}")
             return out
 
-        placed = tuple(
-            jtu.tree_map(put, arg, fmt)
-            for arg, fmt in zip(args, self._formats, strict=True)
-        )
+        try:
+            placed = tuple(
+                jtu.tree_map(put, arg, fmt)
+                for arg, fmt in zip(args, self._formats, strict=True)
+            )
+        except _LayoutNotHonored:
+            self._fallback = jax.jit(self._f)
+            self._compiled = None
+            self._formats = None
+            placed = tuple(jax.device_put(a) for a in args)
         return placed if len(placed) > 1 else placed[0]
 
     def __call__(self, *args):
